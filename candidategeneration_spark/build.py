@@ -1,0 +1,321 @@
+"""Index build pipeline: corpus → postings → stats → compressed segments.
+
+Spark-first re-expression of the reference's 4-phase offline builder
+(``WWWMain.java:50-199``): its per-thread buffers, sorted dump files and
+k-way external merge (``InvertedIndex.java:264-498``, ``ExternalSort.java``)
+are replaced wholesale by one shuffle — ``groupBy(term).applyInPandas`` —
+whose sort-based exchange does the external merge with spill for free.
+
+Lifecycle (SURVEY.md §3.1):
+
+    read corpus → mapInPandas(tokenize + per-doc tf [+ d-bigram])   [Arrow]
+    → join per-term df (shuffle on term)
+    → quantized BM25 per posting (JVM column math)
+    → groupBy(term).applyInPandas(sort by docID, delta+VByte, block-max)
+    → segments DataFrame / Parquet
+
+Skew (north rule): hot d-bigrams (e.g. ``def __init__`` at 10^12-file scale)
+overload a single ``applyInPandas`` group. ``build_segments`` supports a
+salted two-stage aggregation: stage 1 groups on (term, salt=doc_id%S) and
+emits sorted partial runs; stage 2 merges the ≤S runs per term. Because
+stage-1 groups are bounded at df/S postings, no single task sees a whole hot
+list. The reference has no skew handling at all (fixed 4 shards).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from . import indexcodec
+from .bm25 import avgdl_floor, bm25_quantized_col
+from .tokenizer import DBIGRAM_DISTANCE, tokenize_pandas, tokens_col
+
+PAIR_SEP = "\x1f"  # string analogue of the reference's a<<32|b long packing
+                   # (``WWW.java:432-440``) for our string-keyed terms
+
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("tf", LongType()),
+    StructField("doc_len", LongType()),
+    StructField("maxtf", LongType()),
+])
+
+SEGMENT_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("df", LongType()),
+    StructField("n_blocks", IntegerType()),
+    StructField("did_blob", BinaryType()),
+    StructField("score_blob", BinaryType()),
+    StructField("tf_blob", BinaryType()),
+    StructField("block_last", ArrayType(LongType())),
+    StructField("block_max", ArrayType(LongType())),
+    StructField("block_n", ArrayType(LongType())),
+    StructField("did_off", ArrayType(LongType())),
+    StructField("score_off", ArrayType(LongType())),
+    StructField("tf_off", ArrayType(LongType())),
+])
+
+_RUN_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("doc_ids", ArrayType(LongType())),
+    StructField("scores", ArrayType(LongType())),
+    StructField("tfs", ArrayType(LongType())),
+])
+
+
+# --------------------------------------------------------------------------
+# Phase 1 — tokenize + per-doc tf (+ optional d-bigram) in one Arrow pass
+# --------------------------------------------------------------------------
+
+def _explode_tf(pdf: pd.DataFrame, id_col: str, text_col: str,
+                dbigram_distance: int | None) -> pd.DataFrame:
+    toks = tokenize_pandas(pdf[text_col])
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype=object),
+             "doc_id": pd.Series([], dtype=np.int64),
+             "tf": pd.Series([], dtype=np.int64),
+             "doc_len": pd.Series([], dtype=np.int64),
+             "maxtf": pd.Series([], dtype=np.int64)})
+    flat_terms = np.concatenate(
+        [np.asarray(t, dtype=object) for t in toks if t] or
+        [np.empty(0, dtype=object)])
+    flat_docs = np.repeat(doc_ids, lens)
+    edf = pd.DataFrame({"doc_id": flat_docs, "term": flat_terms})
+    tf = (edf.groupby(["doc_id", "term"], sort=False)
+             .size().rename("tf").reset_index())
+    per_doc = tf.groupby("doc_id", sort=False)["tf"].max().rename("maxtf")
+    doclen = pd.Series(lens, index=doc_ids, name="doc_len")
+    tf = tf.merge(per_doc, left_on="doc_id", right_index=True)
+    tf = tf.merge(doclen, left_on="doc_id", right_index=True)
+    if dbigram_distance:
+        pairs = _dbigram_frame(doc_ids, toks, tf, dbigram_distance)
+        tf = pd.concat([tf, pairs], ignore_index=True)
+    return tf[["term", "doc_id", "tf", "doc_len", "maxtf"]]
+
+
+def _dbigram_frame(doc_ids, toks, unigram_tf: pd.DataFrame,
+                   distance: int) -> pd.DataFrame:
+    """Windowed pair generation, vectorized with shifted array views.
+
+    For shift s in 1..d, pair token[i] with token[i+s]; sort each pair
+    ascending; dedup per doc (first-occurrence — order-irrelevant because the
+    pair score is the sum of doc-level unigram scores; SURVEY §2.4 A8).
+    Emitted rows reuse the postings shape with tf=1 (pair tf is unused by the
+    reference scorer: the stored pair score is s(t1)+s(t2),
+    ``InvertedIndex.java:302-307``).
+    """
+    out_docs: list[np.ndarray] = []
+    out_pairs: list[np.ndarray] = []
+    for did, ts in zip(doc_ids, toks):
+        n = len(ts)
+        if n < 2:
+            continue
+        arr = np.asarray(ts, dtype=object)
+        lefts, rights = [], []
+        for s in range(1, min(distance, n - 1) + 1):
+            lefts.append(arr[:-s])
+            rights.append(arr[s:])
+        a = np.concatenate(lefts)
+        b = np.concatenate(rights)
+        neq = a != b
+        a, b = a[neq], b[neq]
+        lo = np.where(a < b, a, b)
+        hi = np.where(a < b, b, a)
+        pairs = np.unique(
+            np.char.add(np.char.add(lo.astype(str), PAIR_SEP),
+                        hi.astype(str)))
+        out_pairs.append(pairs)
+        out_docs.append(np.full(len(pairs), did, dtype=np.int64))
+    if not out_pairs:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "tf": pd.Series([], dtype=np.int64),
+                             "doc_len": pd.Series([], dtype=np.int64),
+                             "maxtf": pd.Series([], dtype=np.int64)})
+    pdf = pd.DataFrame({
+        "term": np.concatenate(out_pairs),
+        "doc_id": np.concatenate(out_docs),
+    })
+    pdf["tf"] = np.int64(1)
+    meta = unigram_tf[["doc_id", "doc_len", "maxtf"]].drop_duplicates("doc_id")
+    return pdf.merge(meta, on="doc_id")
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   dbigram_distance: int | None = None) -> DataFrame:
+    """corpus → (term, doc_id, tf, doc_len, maxtf) via one Arrow pass.
+
+    Map-side pre-aggregation: raw tokens never leave the Python worker —
+    only per-(doc,term) tf rows hit the shuffle (the analogue of the
+    reference's per-doc dedup-before-buffer, ``InvertedIndex.java:291``).
+    """
+    from .config import ensure_on_executors
+    ensure_on_executors(docs.sparkSession)
+    cols = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(text_col).alias("__text"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _explode_tf(pdf, "doc_id", "__text", dbigram_distance)
+
+    return cols.mapInPandas(gen, schema=POSTINGS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Phase 2 — global stats + per-term df + quantized BM25
+# --------------------------------------------------------------------------
+
+def global_stats(docs: DataFrame, text_col: str = "text") -> dict:
+    """N docs / total kept tokens / floored avgdl (``InvertedIndex.java:171``).
+
+    Counts *all* docs (even token-less ones), like the reference's scan.
+    """
+    row = docs.select(F.size(tokens_col(F.col(text_col))).alias("dl")) \
+              .agg(F.count("*").alias("n"), F.sum("dl").alias("tot")) \
+              .collect()[0]
+    n, tot = int(row["n"]), int(row["tot"] or 0)
+    return {"n_docs": n, "total_tokens": tot,
+            "avgdl": avgdl_floor(tot, n) if n else 0}
+
+
+def score_postings(postings: DataFrame, n_docs: int, avgdl: int) -> DataFrame:
+    """postings + per-term df → + quantized ``score_q`` (int64).
+
+    The df join shuffles on ``term`` — the same key the segment build groups
+    on, so AQE/Catalyst reuses the exchange and the pipeline pays one
+    logical repartition by term, not two.
+
+    For pair terms (containing PAIR_SEP) the score is the *sum of the two
+    unigram scores in that doc* (``InvertedIndex.java:302-307``) — computed
+    by joining each side's unigram score, all in quantized int64 space.
+    """
+    uni = postings.where(~F.col("term").contains(PAIR_SEP))
+    term_df = uni.groupBy("term").agg(F.count("*").alias("df"))
+    scored_uni = (
+        uni.join(term_df, "term")
+           .withColumn("score_q", bm25_quantized_col(
+               F.col("tf"), F.col("maxtf"), F.col("df"), F.col("doc_len"),
+               n_docs, avgdl))
+    )
+    pairs = postings.where(F.col("term").contains(PAIR_SEP))
+    if pairs.isEmpty():
+        return scored_uni
+    us1 = scored_uni.select(F.col("term").alias("t1"), "doc_id",
+                            F.col("score_q").alias("s1"))
+    us2 = scored_uni.select(F.col("term").alias("t2"), "doc_id",
+                            F.col("score_q").alias("s2"))
+    split = F.split(F.col("term"), PAIR_SEP)
+    p = (pairs.withColumn("t1", split.getItem(0))
+              .withColumn("t2", split.getItem(1))
+              .join(us1, ["t1", "doc_id"])
+              .join(us2, ["t2", "doc_id"]))
+    pair_df = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    scored_pairs = (
+        p.join(pair_df, "term")
+         .withColumn("score_q", (F.col("s1") + F.col("s2")).cast("long"))
+         .select("term", "doc_id", "tf", "doc_len", "maxtf", "df", "score_q")
+    )
+    return scored_uni.unionByName(scored_pairs)
+
+
+# --------------------------------------------------------------------------
+# Phase 3 — compressed block-max segments (skew-aware)
+# --------------------------------------------------------------------------
+
+def _segment_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One applyInPandas group = one term's full posting set."""
+    term = pdf["term"].iloc[0]
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    dids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+    scores = pdf["score_q"].to_numpy(dtype=np.int64)[order]
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+    seg = indexcodec.encode_postings(dids, scores, tfs)
+    row = indexcodec.segment_to_row(seg)
+    row["term"] = term
+    return pd.DataFrame([row])
+
+
+def _partial_run(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage-1 salted group: emit one sorted run (uncompressed arrays)."""
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    return pd.DataFrame([{
+        "term": pdf["term"].iloc[0],
+        "doc_ids": pdf["doc_id"].to_numpy(dtype=np.int64)[order].tolist(),
+        "scores": pdf["score_q"].to_numpy(dtype=np.int64)[order].tolist(),
+        "tfs": pdf["tf"].to_numpy(dtype=np.int64)[order].tolist(),
+    }])
+
+
+def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage-2: k-way merge of a term's sorted runs → compressed segment.
+
+    This is the Spark-native replacement of ``massiveBinaryMerge``
+    (``ExternalSort.java:91-205``) — but per term and tiny, because the
+    shuffle already routed all runs of a term here.
+    """
+    term = pdf["term"].iloc[0]
+    dids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]])
+    scores = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["scores"]])
+    tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs"]])
+    order = np.argsort(dids, kind="stable")
+    seg = indexcodec.encode_postings(dids[order], scores[order], tfs[order])
+    row = indexcodec.segment_to_row(seg)
+    row["term"] = term
+    return pd.DataFrame([row])
+
+
+def build_segments(scored: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """scored postings → one segment row per term.
+
+    ``salt_buckets=0``: single ``groupBy(term)`` (fine when no term's list
+    exceeds executor memory). ``salt_buckets=S>0``: two-stage salted build —
+    every term flows through stage 1 with salt = doc_id % S (deterministic,
+    no RNG), bounding any single task's group to ~df/S postings.
+    """
+    from .config import ensure_on_executors
+    ensure_on_executors(scored.sparkSession)
+    cols = scored.select("term", "doc_id", "tf", "score_q")
+    if salt_buckets <= 0:
+        return cols.groupBy("term").applyInPandas(
+            _segment_rows, schema=SEGMENT_SCHEMA)
+    salted = cols.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int"))
+    runs = salted.groupBy("term", "salt").applyInPandas(
+        lambda pdf: _partial_run(pdf), schema=_RUN_SCHEMA)
+    return runs.groupBy("term").applyInPandas(
+        _merge_runs, schema=SEGMENT_SCHEMA)
+
+
+def build_index(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                dbigram_distance: int | None = DBIGRAM_DISTANCE,
+                salt_buckets: int = 0,
+                persist: bool = True) -> tuple[DataFrame, dict]:
+    """End-to-end build → (segments DataFrame, stats dict).
+
+    ``persist=True`` materializes the tokenized postings once: the scoring
+    stage references them up to 5× (df agg, pair-side joins) and without a
+    persist Catalyst would re-run the Arrow tokenizer over the corpus for
+    each reference — at 100 TB that is 5 corpus scans instead of 1. On a
+    real cluster use ``StorageLevel.DISK_ONLY`` via checkpoints.py instead
+    when postings exceed cluster RAM.
+    """
+    stats = global_stats(docs, text_col)
+    postings = build_postings(docs, id_col, text_col, dbigram_distance)
+    if persist:
+        postings = postings.persist()
+    scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
+    return build_segments(scored, salt_buckets), stats

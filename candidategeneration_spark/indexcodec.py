@@ -1,0 +1,256 @@
+"""Posting-list codec: delta + variable-byte compression and block-max blocks.
+
+Pure NumPy — no Spark imports. This kernel runs inside Arrow-batched UDFs
+(``applyInPandas``) on executors; keeping it Spark-free makes it unit-testable
+and property-testable in isolation.
+
+Capability parity (see SURVEY.md §2.8): the reference compresses posting
+lists with classic VByte (``src/PredictiveIndex/VariableByteCode.java:18-57``)
+and a delta (d-gap) variant (``VariableByteCode.java:68-113``), and its query
+engine skips inside lists via an external block-structured index (nextGEQ,
+``algo_toplayer.cpp:860-976``). We implement the same *capabilities* with our
+own byte conventions:
+
+- varint: little-endian 7-bit groups, high bit set = continuation (LEB128
+  convention, NOT the reference's terminator-on-last-byte bit layout).
+- d-gap: strictly-increasing docIDs stored as ``first, gap, gap, ...``.
+- blocks: fixed ``BLOCK_SIZE`` postings per block; per block we keep the last
+  docID (skip pointer — the nextGEQ analogue) and the max quantized BM25
+  contribution (block-max metadata for WAND pruning — the "predictive skip
+  structure" of the north star).
+
+Scores are stored pre-quantized (``int64``) exactly like the reference stores
+a quantized BM25 int in every posting (``InvertedIndex.java:305-308``), so
+query-time multi-term scores are integer sums — associative and therefore
+rank-identical regardless of execution order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_U64 = np.uint64
+_SEVEN = _U64(7)
+_MASK7 = _U64(0x7F)
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints. Vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    for i in range(1, 10):
+        nbytes += (v >= (_U64(1) << _U64(7 * i))).astype(np.int64)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    maxb = int(nbytes.max())
+    starts = offsets[:-1]
+    for j in range(maxb):
+        mask = nbytes > j
+        idx = starts[mask] + j
+        payload = ((v[mask] >> _U64(7 * j)) & _MASK7).astype(np.uint8)
+        cont = ((nbytes[mask] > j + 1).astype(np.uint8)) << 7
+        out[idx] = payload | cont
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode a LEB128 byte stream to a uint64 array. Vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.empty(ends.shape[0], dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    group = np.zeros(b.shape[0], dtype=np.int64)
+    group[starts] = 1
+    np.cumsum(group, out=group)
+    group -= 1
+    pos_in_group = np.arange(b.shape[0], dtype=np.int64) - starts[group]
+    contrib = (b.astype(np.uint64) & _MASK7) << (
+        (_SEVEN * pos_in_group.astype(np.uint64))
+    )
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64 array → [first, gaps...] (uint64)."""
+    a = np.ascontiguousarray(sorted_vals, dtype=np.int64)
+    if a.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(a.shape[0], dtype=np.uint64)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:], casting="unsafe")
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_encode`; returns int64."""
+    if gaps.shape[0] == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(gaps.astype(np.int64))
+
+
+class Segment:
+    """In-memory decoded view of one term's compressed posting list.
+
+    Columns inside the segment are the columnar micro-structure the
+    reference builds at query time from raw ``did[]``/``score[]`` files
+    (``algo_toplayer.cpp:393-474``), plus block-skip metadata.
+    """
+
+    __slots__ = (
+        "df",
+        "did_blob",
+        "score_blob",
+        "tf_blob",
+        "block_last",
+        "block_max",
+        "block_n",
+        "did_off",
+        "score_off",
+        "tf_off",
+    )
+
+    def __init__(self, df, did_blob, score_blob, tf_blob, block_last,
+                 block_max, block_n, did_off, score_off, tf_off):
+        self.df = int(df)
+        self.did_blob = did_blob
+        self.score_blob = score_blob
+        self.tf_blob = tf_blob
+        self.block_last = np.asarray(block_last, dtype=np.int64)
+        self.block_max = np.asarray(block_max, dtype=np.int64)
+        self.block_n = np.asarray(block_n, dtype=np.int64)
+        self.did_off = np.asarray(did_off, dtype=np.int64)
+        self.score_off = np.asarray(score_off, dtype=np.int64)
+        self.tf_off = np.asarray(tf_off, dtype=np.int64)
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.block_last.shape[0])
+
+    def decode_block(self, i: int):
+        """Decode block ``i`` → (doc_ids int64, scores int64, tfs int64)."""
+        d0, d1 = self.did_off[i], self.did_off[i + 1]
+        s0, s1 = self.score_off[i], self.score_off[i + 1]
+        t0, t1 = self.tf_off[i], self.tf_off[i + 1]
+        gaps = vbyte_decode(self.did_blob[d0:d1])
+        dids = np.cumsum(gaps.astype(np.int64))
+        if i > 0:
+            # gaps within a block are relative to the previous block's last
+            # docID so every block decodes independently (random access).
+            dids += self.block_last[i - 1]
+        scores = vbyte_decode(self.score_blob[s0:s1]).astype(np.int64)
+        tfs = vbyte_decode(self.tf_blob[t0:t1]).astype(np.int64)
+        return dids, scores, tfs
+
+    def decode_all(self):
+        """Decode the full list → (doc_ids, scores, tfs)."""
+        parts = [self.decode_block(i) for i in range(self.n_blocks)]
+        if not parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return tuple(np.concatenate(cols) for cols in zip(*parts))
+
+    def first_block_geq(self, did: int) -> int:
+        """Index of the first block whose last docID is >= did (nextGEQ skip;
+        ``searchsorted`` over skip pointers replaces the reference's external
+        nextGEQ machinery, SURVEY.md §2.3 J6)."""
+        return int(np.searchsorted(self.block_last, did, side="left"))
+
+
+def encode_postings(doc_ids: np.ndarray, scores: np.ndarray,
+                    tfs: np.ndarray, block_size: int = BLOCK_SIZE) -> Segment:
+    """Build a compressed block-max segment from one term's postings.
+
+    ``doc_ids`` must be strictly increasing (callers sort + dedup upstream).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    scores = np.ascontiguousarray(scores, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = doc_ids.shape[0]
+    if n and not np.all(doc_ids[1:] > doc_ids[:-1]):
+        raise ValueError("doc_ids must be strictly increasing")
+    n_blocks = (n + block_size - 1) // block_size
+    did_parts, score_parts, tf_parts = [], [], []
+    block_last = np.empty(n_blocks, dtype=np.int64)
+    block_max = np.empty(n_blocks, dtype=np.int64)
+    block_n = np.empty(n_blocks, dtype=np.int64)
+    did_off = np.zeros(n_blocks + 1, dtype=np.int64)
+    score_off = np.zeros(n_blocks + 1, dtype=np.int64)
+    tf_off = np.zeros(n_blocks + 1, dtype=np.int64)
+    prev_last = 0
+    for i in range(n_blocks):
+        lo, hi = i * block_size, min((i + 1) * block_size, n)
+        dids = doc_ids[lo:hi]
+        base = dids if i == 0 else dids - prev_last
+        # re-anchor each block on the previous block's last docID
+        gaps = delta_encode(base) if i == 0 else np.concatenate(
+            [base[:1].astype(np.uint64), np.diff(dids).astype(np.uint64)]
+        )
+        db = vbyte_encode(gaps)
+        sb = vbyte_encode(scores[lo:hi])
+        tb = vbyte_encode(tfs[lo:hi])
+        did_parts.append(db)
+        score_parts.append(sb)
+        tf_parts.append(tb)
+        block_last[i] = dids[-1]
+        block_max[i] = scores[lo:hi].max()
+        block_n[i] = hi - lo
+        did_off[i + 1] = did_off[i] + len(db)
+        score_off[i + 1] = score_off[i] + len(sb)
+        tf_off[i + 1] = tf_off[i] + len(tb)
+        prev_last = int(dids[-1])
+    return Segment(
+        df=n,
+        did_blob=b"".join(did_parts),
+        score_blob=b"".join(score_parts),
+        tf_blob=b"".join(tf_parts),
+        block_last=block_last,
+        block_max=block_max,
+        block_n=block_n,
+        did_off=did_off,
+        score_off=score_off,
+        tf_off=tf_off,
+    )
+
+
+def segment_to_row(seg: Segment) -> dict:
+    """Flatten a Segment into plain-Python values for a Spark row."""
+    return {
+        "df": seg.df,
+        "n_blocks": seg.n_blocks,
+        "did_blob": seg.did_blob,
+        "score_blob": seg.score_blob,
+        "tf_blob": seg.tf_blob,
+        "block_last": seg.block_last.tolist(),
+        "block_max": seg.block_max.tolist(),
+        "block_n": seg.block_n.tolist(),
+        "did_off": seg.did_off.tolist(),
+        "score_off": seg.score_off.tolist(),
+        "tf_off": seg.tf_off.tolist(),
+    }
+
+
+def segment_from_row(row) -> Segment:
+    """Rebuild a Segment from a Spark row / dict-like with the same fields."""
+    get = row.__getitem__
+    return Segment(
+        df=get("df"),
+        did_blob=bytes(get("did_blob")),
+        score_blob=bytes(get("score_blob")),
+        tf_blob=bytes(get("tf_blob")),
+        block_last=get("block_last"),
+        block_max=get("block_max"),
+        block_n=get("block_n"),
+        did_off=get("did_off"),
+        score_off=get("score_off"),
+        tf_off=get("tf_off"),
+    )

@@ -1,0 +1,107 @@
+"""Tokenization contract + d-bigram window generation.
+
+Capability parity with the reference's HTML-era tokenizer
+(``src/excluded/HtmlpageCleaner.java:64-86``): lowercase, replace every char
+outside ``[a-z0-9.]`` with a space, split on whitespace, drop tokens shorter
+than 2 chars (the reference drops len<=1). The ``.`` survives because the
+corpus is source code / dotted identifiers. Stopword filtering is optional
+(the reference ships a ~650-entry web stopword list; for code corpora we
+default to none).
+
+Two implementations with identical output:
+
+- :func:`tokens_col` — pure ``pyspark.sql.functions`` (JVM-side, whole-stage
+  codegen; the fast relational path).
+- :func:`tokenize_pandas` — vectorized pandas kernel used inside Arrow UDFs
+  (the path mandated by the north star for the index build, where we fuse
+  tokenize + per-doc tf + d-bigram into a single Arrow pass so raw tokens
+  never hit the shuffle).
+
+D-bigram windows (reference ``InvertedIndex.java:264-314``, distance=5 per
+``WWWMain.java:29``): for each position i, pair token[i] with token[i+1..i+d],
+order each pair ascending, dedup per document. Pair scores are sums of the
+two unigram scores, so dedup order is irrelevant for scoring — we use plain
+set-dedup (SURVEY.md §2.4 A8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Contract constants — the DuckDB oracle SQL in __spark_entry__.py encodes
+# the exact same pipeline; change one, change both.
+TOKEN_KEEP_RE = r"[^a-z0-9.]"
+MIN_TOKEN_LEN = 2
+DBIGRAM_DISTANCE = 5
+
+
+def tokens_col(text: Column) -> Column:
+    """tokens as array<string> using only JVM built-ins (codegen path)."""
+    cleaned = F.regexp_replace(F.lower(text), TOKEN_KEEP_RE, " ")
+    arr = F.split(F.trim(cleaned), r"\s+")
+    return F.filter(arr, lambda t: F.length(t) >= MIN_TOKEN_LEN)
+
+
+_TOKEN_SPLIT = None
+
+
+def _splitter():
+    global _TOKEN_SPLIT
+    if _TOKEN_SPLIT is None:
+        import re
+
+        _TOKEN_SPLIT = re.compile(TOKEN_KEEP_RE)
+    return _TOKEN_SPLIT
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Single-string tokenizer (test oracle / driver-side use)."""
+    parts = _splitter().sub(" ", text.lower()).split()
+    return [t for t in parts if len(t) >= MIN_TOKEN_LEN]
+
+
+def tokenize_pandas(texts: pd.Series) -> pd.Series:
+    """Vectorized tokenizer: Series[str] -> Series[list[str]]."""
+    cleaned = texts.str.lower().str.replace(TOKEN_KEEP_RE, " ", regex=True)
+    return cleaned.str.split().map(
+        lambda ts: [t for t in ts if len(t) >= MIN_TOKEN_LEN]
+    )
+
+
+def doc_term_freqs(tokens: list[str]):
+    """(terms, tfs, doc_len, max_tf) for one document.
+
+    Mirrors the reference's per-doc tf map + maxFreq sentinel
+    (``InvertedIndex.java:157-173``): doc_len counts *kept* tokens, max_tf is
+    the max per-term frequency in the doc.
+    """
+    if not tokens:
+        return [], [], 0, 0
+    arr = pd.Series(tokens).value_counts()
+    return (
+        arr.index.to_list(),
+        arr.to_numpy(dtype=np.int64).tolist(),
+        len(tokens),
+        int(arr.iloc[0]),
+    )
+
+
+def dbigram_pairs(tokens: list[str], distance: int = DBIGRAM_DISTANCE):
+    """Deduped, ascending-ordered within-window term pairs for one doc.
+
+    Windowed self-join *within* a row (SURVEY.md §2.3 J1) — not a Spark join.
+    """
+    seen = set()
+    n = len(tokens)
+    for i in range(n):
+        a = tokens[i]
+        for j in range(i + 1, min(i + 1 + distance, n)):
+            b = tokens[j]
+            if a == b:
+                continue
+            pair = (a, b) if a < b else (b, a)
+            seen.add(pair)
+    return sorted(seen)

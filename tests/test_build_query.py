@@ -1,0 +1,135 @@
+"""End-to-end golden tests: Spark build + query vs pure-Python oracle
+(SURVEY.md §5 rebuild strategy, items 2-3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from candidategeneration_spark import build as B
+from candidategeneration_spark import queryengine as Q
+from candidategeneration_spark.indexcodec import segment_from_row
+from candidategeneration_spark.oracle import OracleIndex
+
+QUERIES = [
+    (0, ["fast", "key"]),
+    (1, ["order", "sort", "merge"]),
+    (2, ["spark"]),
+    (3, ["window", "hash", "join", "scan"]),
+    (4, ["zzznotaterm"]),
+    (5, ["stream", "zzznotaterm"]),
+    (6, ["the"]),
+    (7, ["batch", "batch", "dup"]),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(docs_sf001):
+    return [(int(r["doc_id"]), r["text"])
+            for r in docs_sf001.select("doc_id", "text").collect()]
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex(corpus, dbigram_distance=5)
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs_sf001):
+    segs, stats = B.build_index(docs_sf001, dbigram_distance=5)
+    segs = segs.cache()
+    segs.count()
+    return segs, stats
+
+
+def test_global_stats(built, oracle):
+    _, stats = built
+    assert stats["n_docs"] == oracle.n_docs
+    assert stats["total_tokens"] == oracle.total_tokens
+    assert stats["avgdl"] == oracle.avgdl
+
+
+def test_unigram_postings_match_oracle(built, oracle):
+    segs, _ = built
+    some_terms = ["the", "fast", "spark", "order", "dup", "window"]
+    rows = {r["term"]: r for r in
+            segs.where(F.col("term").isin(some_terms)).collect()}
+    for t in some_terms:
+        expect = oracle.postings(t)
+        assert t in rows, f"term {t} missing from index"
+        seg = segment_from_row(rows[t])
+        d, s, tf = seg.decode_all()
+        exp_d = [e[0] for e in expect]
+        exp_tf = [e[1] for e in expect]
+        exp_s = [e[2] for e in expect]
+        assert d.tolist() == exp_d
+        assert tf.tolist() == exp_tf
+        assert s.tolist() == exp_s
+        assert seg.df == len(expect)
+
+
+def test_pair_postings_match_oracle(built, oracle):
+    segs, _ = built
+    # pick a few pairs that actually occur
+    pairs = sorted(oracle.pair_docs)[:3] + [("batch", "batch")]
+    keys = [B.PAIR_SEP.join(p) for p in pairs[:3]]
+    rows = {r["term"]: r for r in
+            segs.where(F.col("term").isin(keys)).collect()}
+    for (t1, t2), key in zip(pairs[:3], keys):
+        expect = oracle.pair_postings(t1, t2)
+        seg = segment_from_row(rows[key])
+        d, s, _ = seg.decode_all()
+        assert d.tolist() == [e[0] for e in expect]
+        assert s.tolist() == [e[1] for e in expect]
+
+
+def test_df_and_block_invariants(built, oracle):
+    segs, _ = built
+    for r in segs.collect():
+        seg = segment_from_row(r)
+        d, s, _ = seg.decode_all()
+        assert np.all(np.diff(d) > 0), r["term"]
+        assert seg.df == d.shape[0]
+        off = 0
+        for i in range(seg.n_blocks):
+            bd, bs, _ = seg.decode_block(i)
+            assert bs.max() <= seg.block_max[i]
+            assert bd[-1] == seg.block_last[i]
+            off += 1
+
+
+def test_topk_rank_identity(spark, built, oracle):
+    """Engine (WAND + exhaustive) == oracle, rank for rank, score for score."""
+    segs, _ = built
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in QUERIES],
+        "qid long, terms array<string>")
+    for use_wand in (True, False):
+        res = Q.wand_topk(segs, qdf, k=10, use_wand=use_wand) \
+               .orderBy("qid", "rank").collect()
+        got: dict[int, list] = {}
+        for r in res:
+            got.setdefault(r["qid"], []).append((r["doc_id"], r["score_q"]))
+        for qid, terms in QUERIES:
+            expect = oracle.topk(terms, k=10)
+            assert got.get(qid, []) == expect, \
+                f"qid={qid} wand={use_wand}: {got.get(qid)} != {expect}"
+
+
+def test_salted_build_identical(spark, docs_sf001, built):
+    """Skew-safe two-stage build must produce byte-identical segments
+    (resumability analogue: same input → same bytes)."""
+    segs, stats = built
+    postings = B.build_postings(docs_sf001, dbigram_distance=None)
+    scored = B.score_postings(postings, stats["n_docs"], stats["avgdl"])
+    plain = {r["term"]: r for r in
+             B.build_segments(scored, salt_buckets=0).collect()
+             if B.PAIR_SEP not in r["term"]}
+    salted = {r["term"]: r for r in
+              B.build_segments(scored, salt_buckets=4).collect()}
+    assert set(plain) == set(salted)
+    for t in plain:
+        a, b = plain[t], salted[t]
+        assert bytes(a["did_blob"]) == bytes(b["did_blob"]), t
+        assert bytes(a["score_blob"]) == bytes(b["score_blob"]), t
+        assert a["block_max"] == b["block_max"]
+        assert a["block_last"] == b["block_last"]

@@ -1,0 +1,86 @@
+"""Codec unit + property tests (SURVEY.md §5 rebuild strategy, item 1)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from candidategeneration_spark import indexcodec as ic
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_vbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(ic.vbyte_decode(ic.vbyte_encode(arr)), arr)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 127, 128, 129, 1000, 10_000])
+def test_delta_roundtrip(n):
+    rng = np.random.default_rng(42)
+    vals = np.sort(rng.choice(2**31 - 1, size=n, replace=False)).astype(np.int64)
+    gaps = ic.delta_encode(vals)
+    assert np.array_equal(ic.delta_decode(gaps), vals)
+
+
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 257, 5000])
+def test_segment_roundtrip(n):
+    rng = np.random.default_rng(7)
+    dids = np.sort(rng.choice(10 * n + 10, size=n, replace=False)).astype(np.int64)
+    scores = rng.integers(0, 10**8, size=n, dtype=np.int64)
+    tfs = rng.integers(1, 50, size=n, dtype=np.int64)
+    seg = ic.encode_postings(dids, scores, tfs)
+    d, s, t = seg.decode_all()
+    assert np.array_equal(d, dids)
+    assert np.array_equal(s, scores)
+    assert np.array_equal(t, tfs)
+    assert seg.df == n
+    assert seg.n_blocks == (n + ic.BLOCK_SIZE - 1) // ic.BLOCK_SIZE
+
+
+def test_block_invariants():
+    """Analogues of the reference's scan validators: per-list docIDs strictly
+    increasing (testMassiveBinaryMerge, ExternalSort.java:294-316) and block
+    max >= every member score (finda, WWWMain.java:277-305)."""
+    rng = np.random.default_rng(3)
+    n = 1000
+    dids = np.sort(rng.choice(50_000, size=n, replace=False)).astype(np.int64)
+    scores = rng.integers(0, 10**8, size=n, dtype=np.int64)
+    seg = ic.encode_postings(dids, scores, np.ones(n, dtype=np.int64))
+    for i in range(seg.n_blocks):
+        d, s, _ = seg.decode_block(i)
+        assert np.all(np.diff(d) > 0)
+        assert s.max() <= seg.block_max[i]
+        assert d[-1] == seg.block_last[i]
+    assert np.all(np.diff(seg.block_last) > 0)
+
+
+def test_negative_scores_rejected_by_encoder_contract():
+    # negative quantized scores (df > N/2) are legal: vbyte stores uint64 views
+    # of int64 — roundtrip must preserve sign through the int64 view.
+    dids = np.array([1, 5, 9], dtype=np.int64)
+    scores = np.array([-12345, 0, 7], dtype=np.int64)
+    seg = ic.encode_postings(dids, scores, np.ones(3, dtype=np.int64))
+    _, s, _ = seg.decode_all()
+    assert np.array_equal(s, scores)
+
+
+def test_random_block_access_matches_full_decode():
+    rng = np.random.default_rng(11)
+    n = 777
+    dids = np.sort(rng.choice(100_000, size=n, replace=False)).astype(np.int64)
+    scores = rng.integers(0, 10**7, size=n, dtype=np.int64)
+    seg = ic.encode_postings(dids, scores, np.ones(n, dtype=np.int64))
+    full_d, full_s, _ = seg.decode_all()
+    # decode blocks in reverse order — independence of block decode
+    got = [seg.decode_block(i)[0] for i in range(seg.n_blocks - 1, -1, -1)]
+    assert np.array_equal(np.concatenate(got[::-1]), full_d)
+    # nextGEQ block location
+    for probe in [int(dids[0]), int(dids[n // 2]), int(dids[-1]), 10**9]:
+        bi = seg.first_block_geq(probe)
+        if probe > dids[-1]:
+            assert bi == seg.n_blocks
+        else:
+            assert seg.block_last[bi] >= probe
+            if bi > 0:
+                assert seg.block_last[bi - 1] < probe
