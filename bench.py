@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness: index build + query throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {phase: sec, ...}, "sf": ..., ...extras}
+
+Phases
+  build_unigram   tokenize → postings → score → compressed segments (count)
+  build_dbigram   same including d-bigram pairs (distance=5)
+  query_wand      200-query BM25 top-10 batch via Block-Max WAND
+Extras: postings/sec for the builds (BASELINE.json metric) and per-query
+mean latency for the query batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from candidategeneration_spark.build import build_index, build_postings  # noqa: E402
+from candidategeneration_spark.config import get_spark  # noqa: E402
+from candidategeneration_spark.entrysql import QUERY_SET  # noqa: E402
+from candidategeneration_spark.queryengine import wand_topk  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_QUERIES = 200
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark(master=f"local[{CPUS}]",
+                      shuffle_partitions=max(8, int(CPUS)),
+                      app_name="cg-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    docs.count()  # warm: session + parquet footer + cache
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # postings volume for postings/sec (counted once, not timed as build)
+    n_post_uni = build_postings(docs).count()
+    n_post_bi = build_postings(docs, dbigram_distance=5).count()
+
+    t0 = time.time()
+    seg_uni, _ = build_index(docs, dbigram_distance=None)
+    seg_uni = seg_uni.cache()
+    seg_uni.count()
+    timings["build_unigram"] = round(time.time() - t0, 3)
+    extras["unigram_postings_per_sec"] = round(
+        n_post_uni / timings["build_unigram"], 1)
+
+    t0 = time.time()
+    seg_bi, _ = build_index(docs, dbigram_distance=5)
+    seg_bi.count()
+    timings["build_dbigram"] = round(time.time() - t0, 3)
+    extras["dbigram_postings_per_sec"] = round(
+        n_post_bi / timings["build_dbigram"], 1)
+
+    qrows = []
+    base = [terms for _, terms in QUERY_SET if terms]
+    for i in range(N_QUERIES):
+        qrows.append((i, list(base[i % len(base)])))
+    qdf = spark.createDataFrame(qrows, "qid long, terms array<string>")
+    # warm the query path once (Arrow worker spin-up is not steady-state)
+    wand_topk(seg_uni, qdf.limit(4), k=10).count()
+    t0 = time.time()
+    n_res = wand_topk(seg_uni, qdf, k=10).count()
+    timings["query_wand"] = round(time.time() - t0, 3)
+    extras["query_mean_ms"] = round(timings["query_wand"] / N_QUERIES * 1e3, 2)
+    extras["query_result_rows"] = n_res
+    extras["n_postings_unigram"] = n_post_uni
+    extras["n_postings_dbigram"] = n_post_bi
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "index-build+query wall seconds (sf documents corpus)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

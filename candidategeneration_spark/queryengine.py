@@ -148,11 +148,34 @@ class _Cursor:
             self._load(self.bi + 1)
 
 
+def _safe_bound(vals: list[int]) -> int:
+    """Max possible sum over any NON-EMPTY subset of ``vals``.
+
+    Classic WAND assumes non-negative term upper bounds; the reference BM25
+    has unsmoothed IDF, so terms with df > N/2 carry NEGATIVE quantized
+    scores and plain prefix sums would under-estimate (a doc in a strict
+    subset of lists can outscore the full sum). The safe bound is the sum of
+    the positive maxes, or the single largest max when all are negative.
+    Monotone non-decreasing as lists are added → the pivot rule stays sound.
+    """
+    pos = 0
+    best = -(1 << 62)
+    has_pos = False
+    for v in vals:
+        if v > 0:
+            pos += v
+            has_pos = True
+        if v > best:
+            best = v
+    return pos if has_pos else best
+
+
 def topk_bmwand(segments: list[Segment], k: int):
     """Block-Max WAND (Ding & Suel 2011 semantics), exact top-k.
 
     Pruning is strict (< threshold), never on equality, so ties are always
     fully evaluated and the (score desc, doc_id asc) order is exact.
+    Negative-score-safe (see :func:`_safe_bound`).
     """
     cursors = [_Cursor(s) for s in segments if s.n_blocks > 0]
     if not cursors:
@@ -176,22 +199,27 @@ def topk_bmwand(segments: list[Segment], k: int):
         if not live:
             break
         live.sort(key=lambda c: c.cur_did)
-        # pivot: first list where the cumulative list-max upper bound could
+        # pivot: first list where the cumulative safe upper bound could
         # still reach the threshold. Pruning is strict (>=) so tied scores
         # are always evaluated (doc_id tie-break must stay exact).
-        acc = 0
+        maxes: list[int] = []
         pivot = -1
         for i, c in enumerate(live):
-            acc += c.max_score
-            if len(heap) < k or acc >= threshold:
+            maxes.append(c.max_score)
+            if len(heap) < k or _safe_bound(maxes) >= threshold:
                 pivot = i
                 break
         if pivot < 0:
             break  # even all lists together can't reach the threshold
         pivot_did = live[pivot].cur_did
+        # extend pivot across lists tied on pivot_did: they contribute to
+        # the doc's score and must be in the bound before any prune
+        while pivot + 1 < len(live) and live[pivot + 1].cur_did == pivot_did:
+            pivot += 1
         # block-max refinement: bound with the max of the block that would
         # contain pivot_did in each list (metadata only, no decode)
-        bm_sum = sum(c.block_max_for(pivot_did) for c in live[: pivot + 1])
+        bm_sum = _safe_bound(
+            [c.block_max_for(pivot_did) for c in live[: pivot + 1]])
         if len(heap) == k and bm_sum < threshold:
             # No doc in [pivot_did, boundary] can make top-k: every list's
             # covering block ends at >= boundary, so scores there are bounded
