@@ -37,6 +37,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": entries.q_bm25_topk,
         # compressed segment build invariants (C1/C2, O1-O5, S8)
         "segment_stats": entries.q_segment_stats,
+        # dedup family (training-data ops)
+        "dedup_exact": entries.q_dedup_exact,
+        "minhash_signatures": entries.q_minhash_signatures,
+        "lsh_candidate_pairs": entries.q_lsh_candidate_pairs,
+        "simhash": entries.q_simhash,
+        "ngram_jaccard": entries.q_ngram_jaccard,
+        # text analysis
+        "lang_id": entries.q_lang_id,
+        "quality_score": entries.q_quality_score,
+        "token_counts": entries.q_token_counts,
+        "fingerprint": entries.q_fingerprint,
+        # multimodal plumbing (stubbed decode, real Spark plumbing)
+        "mm_extract": entries.q_mm_extract,
+        "frame_sample": entries.q_frame_sample,      # rows-only check
+        # similarity search over embeddings
+        "ann_brute_topk": entries.q_ann_brute_topk,
+        "ann_lsh_buckets": entries.q_ann_lsh_buckets,
+        "ann_lsh_topk": entries.q_ann_lsh_topk,      # rows-only check
+        "ann_cosine_topk": entries.q_ann_cosine_topk,  # rows-only (float)
+        # relational operator surface (S/J/A/O families)
+        "q1_pricing_summary": entries.q_pricing_summary,
+        "q3_top_orders": entries.q_top_orders,
+        "window_topn": entries.q_window_topn,
+        "sessionize": entries.q_sessionize,
     }
 
 
@@ -48,4 +72,22 @@ def oracle_sql() -> dict[str, str]:
         "postings_dbigram": entrysql.sql_postings_dbigram(),
         "bm25_topk": entrysql.sql_bm25_topk(),
         "segment_stats": entrysql.sql_segment_stats(),
+        "dedup_exact": entrysql.sql_dedup_exact(),
+        "minhash_signatures": entrysql.sql_minhash_signatures(),
+        "lsh_candidate_pairs": entrysql.sql_lsh_candidate_pairs(),
+        "simhash": entrysql.sql_simhash(),
+        "ngram_jaccard": entrysql.sql_ngram_jaccard(),
+        "lang_id": entrysql.sql_lang_id(),
+        "quality_score": entrysql.sql_quality_score(),
+        "token_counts": entrysql.sql_token_counts(),
+        "fingerprint": entrysql.sql_fingerprint(),
+        "mm_extract": entrysql.sql_mm_extract(),
+        "ann_brute_topk": entrysql.sql_ann_brute_topk(),
+        "ann_lsh_buckets": entrysql.sql_ann_lsh_buckets(),
+        "q1_pricing_summary": entrysql.sql_pricing_summary(),
+        "q3_top_orders": entrysql.sql_top_orders(),
+        "window_topn": entrysql.sql_window_topn(),
+        "sessionize": entrysql.sql_sessionize(),
+        # frame_sample / ann_lsh_topk / ann_cosine_topk: no oracle —
+        # binary output / float arithmetic → rows-only driver check
     }

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths per the task brief:
+- brute-force top-k (the correctness baseline) — exact integer dot product
+  over quantized vectors so the DuckDB oracle matches bit-for-bit;
+- LSH-bucketed variant (the scale path) — deterministic integer random-
+  hyperplane signs; at 100 TB the bucket equi-join replaces the cross join
+  (candidates share a bucket; probe multiple buckets for recall).
+
+Quantization contract (shared with the SQL oracles): q(x) = CAST(round(x *
+1000) AS BIGINT) per component. Integer dot products are associative →
+order-independent → identical across engines; true cosine over floats is
+NOT (FP addition order), which is why the oracle-checked entries use the
+quantized form. ``cosine_topk_pandas`` provides the float path (vectorized
+NumPy over mapInPandas) for production use where bit-exactness vs an
+external engine is not required.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+QUANT = 1000
+N_PLANES = 8
+
+
+def quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "qvec", F.transform(F.col(vec_col),
+                            lambda x: F.round(x * QUANT).cast("long")))
+
+
+def _int_dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def brute_topk(emb: DataFrame, n_probes: int = 10, k: int = 10) -> DataFrame:
+    """(qid, rank, vec_id, score_q): exact quantized-dot-product top-k of
+    every other vector for the first ``n_probes`` vec_ids.
+
+    The probe side is broadcast (tiny); the corpus side never shuffles
+    until the per-qid top-k aggregation — at scale replace the final window
+    with a TakeOrderedAndProject per probe (k small)."""
+    q = quantized(emb)
+    probes = q.where(F.col("vec_id") < n_probes) \
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("qvec").alias("qv"))
+    scored = (q.crossJoin(F.broadcast(probes))
+                .where(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id",
+                        _int_dot(F.col("qvec"), F.col("qv")).alias("score_q")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+                  .where(F.col("rank") < k)
+                  .select("qid", F.col("rank").cast("long").alias("rank"),
+                          "vec_id", "score_q"))
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket): sign-random-projection bucket id.
+
+    Hyperplane j component i = ((i*7 + j*13) % 11) - 5 — deterministic
+    integers, identical in the SQL oracle. bucket = Σ 2^j·[dot_j ≥ 0]."""
+    q = quantized(emb)
+    planes = emb.sparkSession.range(n_planes).select(
+        F.col("id").alias("plane"),
+        F.expr("transform(sequence(0, 63),"
+               " i -> CAST((i*7 + id*13) % 11 - 5 AS BIGINT))").alias("pv"))
+    dots = (q.crossJoin(F.broadcast(planes))
+             .select("vec_id", "plane",
+                     _int_dot(F.col("qvec"), F.col("pv")).alias("dot")))
+    return (dots.groupBy("vec_id")
+            .agg(F.sum(F.when(F.col("dot") >= 0,
+                              F.expr("shiftleft(1L, cast(plane as int))"))
+                       .otherwise(F.lit(0))).alias("bucket"))
+            .select("vec_id", F.col("bucket").cast("long").alias("bucket")))
+
+
+def lsh_topk(emb: DataFrame, n_probes: int = 10, k: int = 10,
+             n_planes: int = N_PLANES) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH bucket.
+
+    Same output shape as brute_topk; recall < 1 by construction. The bucket
+    equi-join is the piece that scales (no cross join)."""
+    q = quantized(emb).join(lsh_buckets(emb, n_planes), "vec_id")
+    probes = q.where(F.col("vec_id") < n_probes) \
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("qvec").alias("qv"), "bucket")
+    scored = (q.join(F.broadcast(probes), "bucket")
+                .where(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id",
+                        _int_dot(F.col("qvec"), F.col("qv")).alias("score_q")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+                  .where(F.col("rank") < k)
+                  .select("qid", F.col("rank").cast("long").alias("rank"),
+                          "vec_id", "score_q"))
+
+
+def cosine_topk_pandas(emb: DataFrame, n_probes: int = 10,
+                       k: int = 10) -> DataFrame:
+    """Float cosine top-k via vectorized NumPy (matrix multiply per Arrow
+    batch) — the production fast path; not oracle-bit-exact by design."""
+    probes_pd = (emb.where(F.col("vec_id") < n_probes)
+                    .select("vec_id", "embedding").toPandas())
+    qids = probes_pd["vec_id"].to_numpy(np.int64)
+    qm = np.stack(probes_pd["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qm_ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+            sims = vm @ qm_.T  # (batch, probes)
+            n = len(pdf)
+            out = pd.DataFrame({
+                "qid": np.repeat(qids_, n),
+                "vec_id": np.tile(pdf["vec_id"].to_numpy(np.int64),
+                                  len(qids_)),
+                "cos": sims.T.reshape(-1),
+            })
+            yield out[out.qid != out.vec_id]
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="qid long, vec_id long, cos double")
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+                  .where(F.col("rank") < k))

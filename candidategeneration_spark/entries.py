@@ -82,3 +82,112 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segments.select(
         "term", F.col("df").cast("long").alias("df"),
         F.col("n_blocks").cast("long").alias("n_blocks"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops entries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from . import textops
+    return textops.dedup_exact(load_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from . import textops
+    return textops.minhash_signatures(load_docs(spark, sf_dir))
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    from . import textops
+    return textops.lsh_candidate_pairs(load_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    from . import textops
+    return textops.simhash(load_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from . import textops
+    return textops.ngram_jaccard_pairs(load_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from . import textops
+    return textops.lang_id(load_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from . import textops
+    return textops.quality_score(load_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from . import textops
+    return textops.token_counts(load_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from . import textops
+    return textops.fingerprint(load_docs(spark, sf_dir))
+
+
+def q_mm_extract(spark, sf_dir):
+    from . import mmops
+    docs = mmops.with_fake_payload(load_docs(spark, sf_dir))
+    return mmops.extract_metadata(docs)
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    from . import annops
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annops.brute_topk(emb)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    from . import annops
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annops.lsh_buckets(emb)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from . import annops
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annops.lsh_topk(emb)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from . import annops
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annops.cosine_topk_pandas(emb)
+
+
+def q_frame_sample(spark, sf_dir):
+    from . import mmops
+    docs = mmops.with_fake_payload(load_docs(spark, sf_dir))
+    return mmops.frame_sample(docs)
+
+
+# ---------------------------------------------------------------------------
+# Relational entries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    from . import relops
+    return relops.pricing_summary(spark, sf_dir)
+
+
+def q_top_orders(spark, sf_dir):
+    from . import relops
+    return relops.top_orders(spark, sf_dir)
+
+
+def q_window_topn(spark, sf_dir):
+    from . import relops
+    return relops.window_topn_events(spark, sf_dir)
+
+
+def q_sessionize(spark, sf_dir):
+    from . import relops
+    return relops.sessionize_events(spark, sf_dir)

@@ -171,3 +171,254 @@ def sql_segment_stats() -> str:
         "  FROM pairs GROUP BY t1, t2) "
         "SELECT term, CAST(df AS BIGINT) AS df, "
         "CAST((df + 127) // 128 AS BIGINT) AS n_blocks FROM alldf")
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops oracles (textops.py / annops.py / mmops.py twins)
+# ---------------------------------------------------------------------------
+
+_DICT_CTE = """
+dict AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT term FROM tf)
+)
+"""
+
+_MH_PERMS = ("perms AS (SELECT range AS perm,"
+             " ((2*range+1)*2654435761) % 2147483647 AS a,"
+             " (range*40503+12345) % 2147483647 AS b FROM range(16))")
+
+_SH_BITS = ("bits AS (SELECT range AS bit,"
+            " ((2*range+1)*2654435761) % 2147483647 AS a,"
+            " (range*48271+7919) % 2147483647 AS b FROM range(32))")
+
+_SIG_CTE = f"""
+{_MH_PERMS},
+dt AS (SELECT DISTINCT tf.doc_id, dict.tid FROM tf JOIN dict USING (term)),
+sig AS (
+  SELECT doc_id, perm, min((a*tid+b) % 2147483647) AS minhash
+  FROM dt CROSS JOIN perms GROUP BY doc_id, perm
+)
+"""
+
+
+def sql_dedup_exact() -> str:
+    return (
+        "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),"
+        " g AS (SELECT content_hash, min(doc_id) AS canonical_doc_id,"
+        " CAST(count(*) AS BIGINT) AS group_size FROM h GROUP BY content_hash)"
+        " SELECT h.doc_id, h.content_hash, g.canonical_doc_id, g.group_size"
+        " FROM h JOIN g USING (content_hash)")
+
+
+def sql_minhash_signatures() -> str:
+    return (f"WITH {_TOK_CTE.strip()}, {_DICT_CTE.strip()}, {_SIG_CTE.strip()} "
+            "SELECT doc_id, CAST(perm AS BIGINT) AS perm,"
+            " CAST(minhash AS BIGINT) AS minhash FROM sig")
+
+
+def sql_lsh_candidate_pairs() -> str:
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_DICT_CTE.strip()}, {_SIG_CTE.strip()}, "
+        "bands AS ("
+        "  SELECT doc_id, perm // 2 AS band,"
+        "  CAST(sum(minhash * CASE WHEN perm % 2 = 0 THEN 2147483648 ELSE 1 END)"
+        "       AS BIGINT) AS band_key"
+        "  FROM sig GROUP BY doc_id, perm // 2) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.band_key = b.band_key"
+        " AND a.doc_id < b.doc_id")
+
+
+def sql_simhash() -> str:
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_DICT_CTE.strip()}, {_SH_BITS}, "
+        "dtt AS (SELECT tf.doc_id, dict.tid, tf.tf FROM tf JOIN dict USING (term)), "
+        "signed AS ("
+        "  SELECT doc_id, bit,"
+        "  sum(tf * (((tid*a+b) % 2147483647) % 2 * 2 - 1)) AS w"
+        "  FROM dtt CROSS JOIN bits GROUP BY doc_id, bit) "
+        "SELECT doc_id, CAST(sum(CASE WHEN w > 0"
+        " THEN CAST(1 AS BIGINT) << CAST(bit AS INT) ELSE 0 END) AS BIGINT)"
+        " AS simhash FROM signed GROUP BY doc_id")
+
+
+def sql_ngram_jaccard(min_jacc_q: int = 100_000) -> str:
+    return (
+        f"WITH {_TOK_CTE.strip()}, "
+        "pos AS (SELECT doc_id, unnest(toks) AS term,"
+        " generate_subscripts(toks, 1) AS pos FROM tok), "
+        "grams AS (SELECT DISTINCT a.doc_id,"
+        " a.term || ' ' || b.term || ' ' || c.term AS gram"
+        " FROM pos a"
+        " JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+        " JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " count(*) AS inter FROM grams a"
+        " JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id"
+        " GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,"
+        " CAST(sa.n + sb.n - inter AS BIGINT) AS uni,"
+        " CAST(floor(1000000 * inter / (sa.n + sb.n - inter)) AS BIGINT)"
+        " AS jacc_q"
+        " FROM inter"
+        " JOIN sizes sa ON sa.doc_id = doc_a"
+        " JOIN sizes sb ON sb.doc_id = doc_b"
+        f" WHERE floor(1000000 * inter / (sa.n + sb.n - inter)) >= {min_jacc_q}")
+
+
+def sql_lang_id() -> str:
+    from .textops import LANG_STOPWORDS
+    vals = ", ".join(f"('{lang}', '{w}')"
+                     for lang, ws in LANG_STOPWORDS.items() for w in ws)
+    return (
+        f"WITH {_TOK_CTE.strip()}, "
+        f"sw(lang, term) AS (SELECT * FROM (VALUES {vals}) v(lang, term)), "
+        "hits AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS hits"
+        " FROM tf JOIN sw USING (term) GROUP BY doc_id, lang), "
+        "best AS (SELECT doc_id, lang, hits, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn FROM hits) "
+        "SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang,"
+        " CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits"
+        " FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b"
+        " USING (doc_id)")
+
+
+def sql_quality_score() -> str:
+    from .textops import STOPWORDS_EN
+    sw = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+    return (
+        f"WITH {_TOK_CTE.strip()}, "
+        "base AS (SELECT doc_id,"
+        " CAST(len(toks) AS BIGINT) AS n_tokens,"
+        " CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,"
+        f" CAST(len(list_filter(toks, t -> list_contains({sw}, t))) AS BIGINT)"
+        " AS n_stop,"
+        " CAST(COALESCE(list_sum(list_transform(toks, t -> len(t))), 0)"
+        " AS BIGINT) AS chars"
+        " FROM tok) "
+        "SELECT doc_id, n_tokens, n_distinct,"
+        " CASE WHEN n_tokens > 0 THEN CAST(floor(1000000 * n_distinct / n_tokens) AS BIGINT) ELSE 0 END AS uniq_ratio_q,"
+        " CASE WHEN n_tokens > 0 THEN CAST(floor(1000000 * n_stop / n_tokens) AS BIGINT) ELSE 0 END AS stop_ratio_q,"
+        " CASE WHEN n_tokens > 0 THEN CAST(floor(1000000 * chars / n_tokens) AS BIGINT) ELSE 0 END AS mean_tok_len_q"
+        " FROM base")
+
+
+def sql_token_counts() -> str:
+    return (
+        "SELECT doc_id,"
+        " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,"
+        " CAST(len(regexp_extract_all(lower(text),"
+        " '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re"
+        " FROM documents")
+
+
+def sql_fingerprint() -> str:
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_DICT_CTE.strip()}, "
+        "pos AS (SELECT doc_id, unnest(toks) AS term,"
+        " generate_subscripts(toks, 1) AS pos FROM tok) "
+        "SELECT doc_id, CAST(sum(tid * ((pos - 1) % 64 + 1)) AS BIGINT) AS fp"
+        " FROM pos JOIN dict USING (term) GROUP BY doc_id")
+
+
+def sql_mm_extract() -> str:
+    return (
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,"
+        " CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,"
+        " CAST((strlen(text) * 7) % 480 + 1 AS BIGINT) AS height,"
+        " CAST(strlen(text) % 30 + 1 AS BIGINT) AS n_frames"
+        " FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# ANN oracles (annops.py twins)
+# ---------------------------------------------------------------------------
+
+_QVEC_CTE = ("qv AS (SELECT vec_id, list_transform(embedding,"
+             " x -> CAST(round(x*1000) AS BIGINT)) AS v FROM embeddings)")
+
+
+def sql_ann_brute_topk(n_probes: int = 10, k: int = 10) -> str:
+    return (
+        f"WITH {_QVEC_CTE}, "
+        f"pr AS (SELECT vec_id AS qid, v AS pv FROM qv WHERE vec_id < {n_probes}), "
+        "scored AS (SELECT pr.qid, qv.vec_id,"
+        " CAST((SELECT sum(u.a*u.b) FROM (SELECT unnest(qv.v) AS a,"
+        " unnest(pr.pv) AS b) u) AS BIGINT) AS score_q"
+        " FROM qv CROSS JOIN pr WHERE qv.vec_id <> pr.qid) "
+        "SELECT qid, CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, vec_id) - 1 AS BIGINT) AS rank,"
+        " vec_id, score_q FROM scored"
+        f" QUALIFY rank < {k}")
+
+
+def sql_ann_lsh_buckets(n_planes: int = 8) -> str:
+    return (
+        f"WITH {_QVEC_CTE}, "
+        "comp AS (SELECT vec_id, unnest(v) AS q,"
+        " generate_subscripts(v, 1) AS i FROM qv), "
+        f"planes AS (SELECT range AS plane FROM range({n_planes})), "
+        "dots AS (SELECT vec_id, plane,"
+        " sum(q * (((i-1)*7 + plane*13) % 11 - 5)) AS dot"
+        " FROM comp CROSS JOIN planes GROUP BY vec_id, plane) "
+        "SELECT vec_id, CAST(sum(CASE WHEN dot >= 0"
+        " THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE 0 END) AS BIGINT)"
+        " AS bucket FROM dots GROUP BY vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Relational oracles (relops.py twins)
+# ---------------------------------------------------------------------------
+
+def sql_pricing_summary() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)"
+        " AS sum_qty_c,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS sum_price_c,"
+        " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+        " AS BIGINT)) AS BIGINT) AS sum_disc_price_c,"
+        " CAST(count(*) AS BIGINT) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'"
+        " GROUP BY l_returnflag, l_linestatus")
+
+
+def sql_top_orders(k: int = 10) -> str:
+    return (
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+        " strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,"
+        " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+        " AS BIGINT)) AS BIGINT) AS revenue_c"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " GROUP BY o_orderkey, o_orderdate"
+        f" ORDER BY revenue_c DESC, o_orderkey LIMIT {k}")
+
+
+def sql_window_topn(n: int = 3) -> str:
+    return (
+        "SELECT CAST(user_id AS BIGINT) AS user_id,"
+        " CAST(event_id AS BIGINT) AS event_id, CAST(rn AS BIGINT) AS rn"
+        " FROM (SELECT user_id, event_id, row_number() OVER"
+        " (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn"
+        " FROM events)"
+        f" WHERE rn <= {n}")
+
+
+def sql_sessionize(gap_minutes: int = 30) -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_id,"
+        " CAST(floor(epoch(ts)) AS BIGINT) AS sec,"
+        " lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+        " FROM events) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id,"
+        " CAST(sum(CASE WHEN prev IS NULL OR sec - prev >"
+        f" {gap_minutes * 60} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,"
+        " CAST(count(*) AS BIGINT) AS n_events"
+        " FROM e GROUP BY user_id")

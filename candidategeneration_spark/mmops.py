@@ -1,0 +1,93 @@
+"""Multimodal binary-column plumbing.
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` kernels. The decode
+step itself is STUBBED (no image/audio libraries in this container): a
+deterministic fake decoder derives metadata from the byte stream, and
+``decode_image_real`` raises NotImplementedError with the intended
+integration point. The Spark-side plumbing — schema, batching, UDF
+signature, partition behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_fake_payload(docs: DataFrame) -> DataFrame:
+    """Derive a binary 'payload' column (UTF-8 bytes of text) standing in
+    for an image/audio blob; real pipelines read it from Parquet/Iceberg."""
+    return docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+
+
+def decode_image_real(blob: bytes):
+    """Integration point for a real decoder (PIL/libvips/ffmpeg).
+
+    Not available in this environment — the fake decoder below keeps the
+    pipeline executable and deterministic."""
+    raise NotImplementedError(
+        "real image decode requires an imaging library; plug PIL/pyvips "
+        "here and return (width, height, channels, pixels)")
+
+
+def _fake_meta(n_bytes: np.ndarray):
+    """Deterministic fake decode: metadata as pure int functions of size."""
+    width = n_bytes % 640 + 1
+    height = (n_bytes * 7) % 480 + 1
+    n_frames = n_bytes % 30 + 1
+    return width, height, n_frames
+
+
+def extract_metadata(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bytes, width, height, n_frames) via Arrow batches."""
+    cols = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)
+                     .alias("payload"))
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).to_numpy(np.int64)
+            w, h, f = _fake_meta(n_bytes)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "n_bytes": n_bytes, "width": w, "height": h,
+                "n_frames": f})
+
+    return cols.mapInPandas(
+        meta,
+        schema="doc_id long, n_bytes long, width long, height long,"
+               " n_frames long")
+
+
+def frame_sample(df: DataFrame, every: int = 10,
+                 payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, frame_idx, frame_bytes): deterministic fake frame sampler —
+    slices the blob into `n_frames` chunks and keeps every ``every``-th.
+    Shows the 1→N explode shape real video sampling has; the chunk content
+    stands in for decoded frames."""
+    cols = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(payload_col).alias("payload"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_bytes = [], [], []
+            for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(blob)
+                n = len(blob)
+                _, _, n_frames = _fake_meta(np.array([n], dtype=np.int64))
+                n_frames = int(n_frames[0])
+                step = max(1, n // n_frames)
+                for i in range(0, n_frames, every):
+                    out_ids.append(did)
+                    out_idx.append(i)
+                    out_bytes.append(blob[i * step:(i + 1) * step])
+            yield pd.DataFrame({"doc_id": out_ids, "frame_idx": out_idx,
+                                "frame_bytes": out_bytes})
+
+    return cols.mapInPandas(
+        sample, schema="doc_id long, frame_idx long, frame_bytes binary")

@@ -1,0 +1,273 @@
+"""Training-data text operations over a document corpus.
+
+Beyond-reference capabilities a 100 TB training-data pipeline needs
+(task brief): deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+language ID, quality scoring, token counting, document fingerprinting.
+
+Design rules:
+- Everything is expressed in relational DataFrame ops + integer arithmetic
+  so a DuckDB oracle can reproduce results bit-for-bit (no floats anywhere
+  except ratios, which are quantized with truncation).
+- Token IDs for the hash families are DENSE ids from a dictionary
+  (row_number over sorted distinct terms). At 100 TB you build the same
+  dictionary once per corpus snapshot (sort + zipWithIndex) and broadcast /
+  hash-join it — the window below is the small-scale stand-in.
+- MinHash/SimHash are pure column math (no UDF): the 16× / 32× row blowup
+  stays JVM-side inside whole-stage codegen and shuffles only per-doc
+  aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .tokenizer import tokens_col
+
+# hash family constants — shared verbatim with the SQL oracles
+MH_PRIME = 2147483647          # 2^31 - 1
+MH_MULT = 2654435761           # Knuth multiplicative constant
+MH_NPERM = 16                  # permutations
+MH_BAND_ROWS = 2               # rows per LSH band → 8 bands
+SH_BITS = 32                   # simhash bits
+STOPWORDS_EN = ["the", "and", "of", "to", "in", "is", "it", "on"]
+NGRAM_N = 3
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) + per-doc positions preserved in arrays upstream."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_col(F.col(text_col)).alias("toks"))
+    return (toks.select("doc_id", F.explode("toks").alias("term"))
+                .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+
+
+def term_dictionary(doc_tf: DataFrame) -> DataFrame:
+    """(term, tid) dense 1-based ids, deterministic (ordered by term)."""
+    return (doc_tf.select("term").distinct()
+            .withColumn("tid", F.row_number().over(Window.orderBy("term"))
+                        .cast("long")))
+
+
+def with_tids(doc_tf: DataFrame) -> DataFrame:
+    return doc_tf.join(term_dictionary(doc_tf), "term")
+
+
+# ---------------------------------------------------------------------------
+# Dedup 1: exact (hash groupBy)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_hash, canonical_doc_id, group_size).
+
+    canonical = min doc_id of the identical-content group; at scale this is
+    one hash-partitioned groupBy on md5 (no window needed: join back on the
+    aggregated group table, which Spark broadcast-joins when small)."""
+    h = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    groups = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"))
+    return h.join(groups, "content_hash") \
+            .select("doc_id", "content_hash", "canonical_doc_id",
+                    F.col("group_size").cast("long").alias("group_size"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup 2: MinHash signatures + banded LSH
+# ---------------------------------------------------------------------------
+
+def _perms(spark) -> DataFrame:
+    """perm table: (perm, a, b) with a=(2p+1)*MULT % P, b=(p*40503+12345)%P."""
+    return spark.range(MH_NPERM).select(
+        F.col("id").alias("perm"),
+        (((F.col("id") * 2 + 1) * F.lit(MH_MULT)) % MH_PRIME).alias("a"),
+        ((F.col("id") * 40503 + 12345) % MH_PRIME).alias("b"))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, perm, minhash): min over the doc's distinct token ids of
+    (a*tid + b) % P. Pure column math; the 16× blowup is map-side only."""
+    dt = with_tids(doc_tokens(docs)).select("doc_id", "tid").distinct()
+    perms = _perms(docs.sparkSession)
+    return (dt.crossJoin(F.broadcast(perms))
+              .groupBy("doc_id", "perm")
+              .agg(F.min((F.col("a") * F.col("tid") + F.col("b"))
+                         % MH_PRIME).alias("minhash"))
+              .select("doc_id", F.col("perm").cast("long").alias("perm"),
+                      F.col("minhash").cast("long").alias("minhash")))
+
+
+def lsh_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): bands of MH_BAND_ROWS rows packed into one
+    exact int64 (mh_even * 2^31 + mh_odd — both < 2^31)."""
+    sig = minhash_signatures(docs)
+    return (sig.withColumn("band", (F.col("perm") / MH_BAND_ROWS)
+                           .cast("long"))
+               .withColumn("w", F.when(F.col("perm") % 2 == 0,
+                                       F.lit(2147483648)).otherwise(F.lit(1)))
+               .groupBy("doc_id", "band")
+               .agg(F.sum(F.col("minhash") * F.col("w")).alias("band_key")))
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs sharing at least one LSH band bucket.
+
+    The band self-join is the scale path: equi-join on (band, band_key)
+    hash-partitions perfectly; hot buckets (boilerplate docs) are the skew
+    case — cap or salt them in production."""
+    b = lsh_bands(docs)
+    b2 = b.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (b.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+             .join(b2, ["band", "band_key"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3: SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): SH_BITS-bit tf-weighted hyperplane signature.
+
+    bit_j(tid) = ((tid * a_j + b_j) % P) % 2; doc bit j set iff
+    sum(tf * (2*bit-1)) > 0. All int64 column math."""
+    dt = with_tids(doc_tokens(docs))
+    bits = docs.sparkSession.range(SH_BITS).select(
+        F.col("id").alias("bit"),
+        (((F.col("id") * 2 + 1) * F.lit(MH_MULT)) % MH_PRIME).alias("a"),
+        ((F.col("id") * 48271 + 7919) % MH_PRIME).alias("b"))
+    signed = (dt.crossJoin(F.broadcast(bits))
+                .withColumn("sgn",
+                            ((F.col("tid") * F.col("a") + F.col("b"))
+                             % MH_PRIME % 2 * 2 - 1))
+                .groupBy("doc_id", "bit")
+                .agg(F.sum(F.col("tf") * F.col("sgn")).alias("w")))
+    return (signed.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("w") > 0,
+                              F.expr("shiftleft(1L, cast(bit as int))"))
+                       .otherwise(F.lit(0))).alias("simhash")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup 4: word n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _doc_ngrams(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(toks) - {NGRAM_N}),"
+            " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+        )).alias("gram"))
+    return grams.where(F.col("gram").isNotNull()).distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, min_jacc_q: int = 100_000) -> DataFrame:
+    """(doc_a, doc_b, inter, uni, jacc_q): exact word-3-gram Jaccard over
+    pairs sharing >=1 gram; jacc_q = trunc(1e6 * inter / union).
+
+    Scale path: the gram equi-join is the candidate generator (docs sharing
+    no gram never meet); at 100 TB you'd first drop ultra-common grams
+    (df cap) to bound the join fan-out."""
+    g = _doc_ngrams(docs)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (ga.join(gb, "gram").where(F.col("doc_a") < F.col("doc_b"))
+               .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (inter.join(na, "doc_a").join(nb, "doc_b")
+           .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+           .withColumn("jacc_q",
+                       F.floor(F.lit(1_000_000) * F.col("inter")
+                               / F.col("uni")).cast("long")))
+    return (out.where(F.col("jacc_q") >= min_jacc_q)
+               .select("doc_a", "doc_b", F.col("inter").cast("long").alias("inter"),
+                       F.col("uni").cast("long").alias("uni"), "jacc_q"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality, token counts, fingerprint
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von"],
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, hits): argmax of stopword hits, ties by lang asc,
+    'und' (undetermined) when zero hits."""
+    dt = doc_tokens(docs)
+    spark = docs.sparkSession
+    rows = [(lang, w) for lang, ws in LANG_STOPWORDS.items() for w in ws]
+    sw = spark.createDataFrame(rows, "lang string, term string")
+    hits = (dt.join(F.broadcast(sw), "term")
+              .groupBy("doc_id", "lang").agg(F.sum("tf").alias("hits")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = (hits.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("doc_id", F.col("lang").alias("pred_lang"),
+                        F.col("hits").cast("long").alias("hits")))
+    return (docs.select("doc_id").join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits")))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, uniq_ratio_q, stop_ratio_q,
+    mean_tok_len_q): integer-quantized quality heuristics (×1e6, floored)."""
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.size(F.filter("toks", lambda t: F.array_contains(sw, t)))
+         .cast("long").alias("n_stop"),
+        F.aggregate("toks", F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).alias("chars"))
+    q = F.lit(1_000_000)
+    return base.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.when(F.col("n_tokens") > 0,
+               F.floor(q * F.col("n_distinct") / F.col("n_tokens")))
+         .otherwise(0).cast("long").alias("uniq_ratio_q"),
+        F.when(F.col("n_tokens") > 0,
+               F.floor(q * F.col("n_stop") / F.col("n_tokens")))
+         .otherwise(0).cast("long").alias("stop_ratio_q"),
+        F.when(F.col("n_tokens") > 0,
+               F.floor(q * F.col("chars") / F.col("n_tokens")))
+         .otherwise(0).cast("long").alias("mean_tok_len_q"))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws, n_re): whitespace token count + BPE-ish regex token
+    count (runs of letters | runs of digits | single other non-space)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all(
+            F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+         .cast("long").alias("n_re"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): order-sensitive rolling fingerprint —
+    sum over positions of tid * ((pos-1) % 64 + 1). Associative int64 sum,
+    position-weighted so permuted docs differ; oracle-exact."""
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    pos = toks.select("doc_id",
+                      F.posexplode("toks").alias("pos", "term"))
+    dt = pos.join(term_dictionary(
+        pos.select("doc_id", "term", F.lit(1).alias("tf"))), "term")
+    return (dt.groupBy("doc_id")
+              .agg(F.sum(F.col("tid") * (F.col("pos") % 64 + 1))
+                   .alias("fp"))
+              .select("doc_id", F.col("fp").cast("long").alias("fp")))
