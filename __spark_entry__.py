@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": entries.q_bm25_topk,
         # compressed segment build invariants (C1/C2, O1-O5, S8)
         "segment_stats": entries.q_segment_stats,
+        # augmented d-bigram query model (Q2, J4, X2)
+        "bm25_topk_pairs": entries.q_bm25_topk_pairs,
+        # term dictionary encode (T3/T4)
+        "term_dictionary": entries.q_term_dictionary,
         # dedup family (training-data ops)
         "dedup_exact": entries.q_dedup_exact,
         "minhash_signatures": entries.q_minhash_signatures,
@@ -72,6 +76,8 @@ def oracle_sql() -> dict[str, str]:
         "postings_dbigram": entrysql.sql_postings_dbigram(),
         "bm25_topk": entrysql.sql_bm25_topk(),
         "segment_stats": entrysql.sql_segment_stats(),
+        "bm25_topk_pairs": entrysql.sql_bm25_topk_pairs(),
+        "term_dictionary": entrysql.sql_term_dictionary(),
         "dedup_exact": entrysql.sql_dedup_exact(),
         "minhash_signatures": entrysql.sql_minhash_signatures(),
         "lsh_candidate_pairs": entrysql.sql_lsh_candidate_pairs(),

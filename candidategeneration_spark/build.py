@@ -231,9 +231,96 @@ def score_postings(postings: DataFrame, n_docs: int, avgdl: int) -> DataFrame:
     return scored_uni.unionByName(scored_pairs)
 
 
+def global_stats_from_postings(postings: DataFrame, n_docs: int) -> dict:
+    """Stats without a second corpus scan: total kept tokens from the
+    postings (one row per (doc,term), doc_len repeated → take per-doc
+    first), n_docs from the (metadata-only) corpus count. Token-less docs
+    carry no postings but still count in n_docs — same semantics as
+    :func:`global_stats` (reference scans every doc, InvertedIndex.java:171).
+    """
+    uni = postings.where(~F.col("term").contains(PAIR_SEP))
+    row = (uni.groupBy("doc_id").agg(F.first("doc_len").alias("dl"))
+              .agg(F.sum("dl").alias("tot")).collect()[0])
+    tot = int(row["tot"] or 0)
+    return {"n_docs": n_docs, "total_tokens": tot,
+            "avgdl": avgdl_floor(tot, n_docs) if n_docs else 0}
+
+
 # --------------------------------------------------------------------------
 # Phase 3 — compressed block-max segments (skew-aware)
 # --------------------------------------------------------------------------
+
+def _encode_sorted_run(pdf: pd.DataFrame, n_docs: int, avgdl: int,
+                       score_in: bool) -> pd.DataFrame:
+    """Encode a (term, doc_id)-sorted frame of COMPLETE term groups.
+
+    Vectorized: group boundaries by one != scan; df = group size; BM25 for
+    every row in one NumPy call; per-group slices feed the codec directly
+    (doc_ids already sorted — no per-group argsort)."""
+    from .bm25 import bm25_quantized_np
+    terms = pdf["term"].to_numpy()
+    n = terms.shape[0]
+    starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]])
+    ends = np.r_[starts[1:], n]
+    dids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    if score_in:
+        scores = pdf["score_q"].to_numpy(np.int64)
+    else:
+        dfs = np.repeat(ends - starts, ends - starts)
+        scores = bm25_quantized_np(
+            tfs, pdf["maxtf"].to_numpy(np.int64), dfs,
+            pdf["doc_len"].to_numpy(np.int64), n_docs, avgdl)
+    rows = []
+    for s, e in zip(starts, ends):
+        seg = indexcodec.encode_postings(dids[s:e], scores[s:e], tfs[s:e])
+        row = indexcodec.segment_to_row(seg)
+        row["term"] = terms[s]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def _stream_encode(batches, n_docs: int, avgdl: int, score_in: bool):
+    """Per-partition streaming group encoder. Input batches are globally
+    sorted by (term, doc_id) within the partition; a term may span batch
+    boundaries, so the last (possibly incomplete) group is carried over."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        terms = pdf["term"].to_numpy()
+        first_of_last = int(np.searchsorted(terms, terms[-1], side="left"))
+        carry = pdf.iloc[first_of_last:]
+        head = pdf.iloc[:first_of_last]
+        if len(head):
+            yield _encode_sorted_run(head, n_docs, avgdl, score_in)
+    if carry is not None and len(carry):
+        yield _encode_sorted_run(carry, n_docs, avgdl, score_in)
+
+
+def build_segments_fast(postings: DataFrame, n_docs: int, avgdl: int,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Unigram fast path: ONE shuffle total.
+
+    repartition(term) → Tungsten sortWithinPartitions(term, doc_id) →
+    streaming mapInPandas group-encode with FUSED df + BM25 (df = group
+    size, so the separate df aggregation + join of the classic path
+    disappear). ~100× less per-group overhead than one-applyInPandas-call-
+    per-term when the dictionary is dominated by tiny lists (unique
+    identifiers at 10^12-file scale). Not applicable to salted builds
+    (partial groups don't know df) — use :func:`build_segments` there.
+    """
+    cols = postings.select("term", "doc_id", "tf", "doc_len", "maxtf")
+    part = cols.repartition(num_partitions, "term") if num_partitions \
+        else cols.repartition("term")
+    part = part.sortWithinPartitions("term", "doc_id")
+
+    def run(batches):
+        yield from _stream_encode(batches, n_docs, avgdl, score_in=False)
+
+    return part.mapInPandas(run, schema=SEGMENT_SCHEMA)
 
 def _segment_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     """One applyInPandas group = one term's full posting set."""
@@ -313,9 +400,15 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     real cluster use ``StorageLevel.DISK_ONLY`` via checkpoints.py instead
     when postings exceed cluster RAM.
     """
-    stats = global_stats(docs, text_col)
     postings = build_postings(docs, id_col, text_col, dbigram_distance)
     if persist:
         postings = postings.persist()
+    # n_docs via parquet metadata / cheap count — no tokenize; total tokens
+    # from the postings themselves → the corpus is tokenized exactly once.
+    stats = global_stats_from_postings(postings, docs.count())
+    if dbigram_distance is None and salt_buckets <= 0:
+        # unigram-only: fused single-shuffle path (df + score in-kernel)
+        return build_segments_fast(postings, stats["n_docs"],
+                                   stats["avgdl"]), stats
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
     return build_segments(scored, salt_buckets), stats

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .build import (
     PAIR_SEP, build_index, build_postings, global_stats, score_postings,
 )
-from .entrysql import QUERY_SET, TOPK
+from .entrysql import QUERY_SET, TOPK  # noqa: F401
 from .queryengine import wand_topk
 from .tokenizer import DBIGRAM_DISTANCE
 
@@ -191,3 +191,29 @@ def q_window_topn(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     from . import relops
     return relops.sessionize_events(spark, sf_dir)
+
+
+def q_bm25_topk_pairs(spark, sf_dir):
+    """Augmented d-bigram query model (reference Metadata.java:236-262 +
+    pair top layers): each query expands to its term 2-combinations, docs
+    score by the SUM of pair scores (s1+s2 per pair present), exact top-k
+    over the pair segment index via the same WAND kernel (pair keys are
+    just terms to the engine)."""
+    from itertools import combinations
+    segments, _ = build_index(load_docs(spark, sf_dir),
+                              dbigram_distance=DBIGRAM_DISTANCE)
+    rows = []
+    for qid, terms in QUERY_SET:
+        uniq = sorted(set(terms))
+        keys = [a + PAIR_SEP + b for a, b in combinations(uniq, 2)]
+        rows.append((qid, keys))
+    qdf = spark.createDataFrame(rows, "qid long, terms array<string>")
+    res = wand_topk(segments, qdf, k=TOPK, use_wand=True)
+    return res.select("qid", F.col("rank").cast("long").alias("rank"),
+                      "doc_id", "score_q")
+
+
+def q_term_dictionary(spark, sf_dir):
+    from . import textops
+    dt = textops.doc_tokens(load_docs(spark, sf_dir))
+    return textops.term_dictionary(dt)

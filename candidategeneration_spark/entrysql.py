@@ -422,3 +422,41 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
         f" {gap_minutes * 60} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,"
         " CAST(count(*) AS BIGINT) AS n_events"
         " FROM e GROUP BY user_id")
+
+
+def sql_bm25_topk_pairs(k: int = TOPK) -> str:
+    """Oracle for the augmented d-bigram query model."""
+    from itertools import combinations
+    rows = []
+    for qid, terms in QUERY_SET:
+        uniq = sorted(set(terms))
+        for a, b in combinations(uniq, 2):
+            rows.append(f"({qid}, '{a}', '{b}')")
+    if not rows:
+        rows = ["(NULL, NULL, NULL)"]
+    qvals = ("qpairs(qid, t1, t2) AS (SELECT * FROM (VALUES "
+             + ", ".join(rows) + ") v(qid, t1, t2))")
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_PAIRS_CTE.strip()}, "
+        f"{qvals}, "
+        "pscore AS ("
+        "  SELECT p.doc_id, p.t1, p.t2,"
+        "         s1.score_q + s2.score_q AS score_q"
+        "  FROM pairs p"
+        "  JOIN scored s1 ON s1.doc_id = p.doc_id AND s1.term = p.t1"
+        "  JOIN scored s2 ON s2.doc_id = p.doc_id AND s2.term = p.t2), "
+        "qscore AS ("
+        "  SELECT q.qid, ps.doc_id, CAST(sum(ps.score_q) AS BIGINT) AS score_q"
+        "  FROM qpairs q JOIN pscore ps ON ps.t1 = q.t1 AND ps.t2 = q.t2"
+        "  GROUP BY q.qid, ps.doc_id) "
+        "SELECT CAST(qid AS BIGINT) AS qid,"
+        " CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, doc_id) - 1 AS BIGINT) AS rank,"
+        " doc_id, score_q FROM qscore"
+        f" QUALIFY rank < {k}")
+
+
+def sql_term_dictionary() -> str:
+    return (f"WITH {_TOK_CTE.strip()} "
+            "SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT)"
+            " AS tid FROM (SELECT DISTINCT term FROM tf)")

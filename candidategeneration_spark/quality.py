@@ -1,0 +1,164 @@
+"""Quality-model training + greedy index-prefix selection (offline
+"optimizer of the index itself") — parity with SURVEY.md §2.9 Q1-Q7.
+
+The reference trains a quality model by scanning the final index and
+recording at which *impact-ordered position* ground-truth docs appear
+(``NewQualityModel.java:88-195``), buckets (position, list length) into a
+geometric 2-D histogram (``Selection.java:33-55``), then greedily selects
+posting-list prefix chunks under a byte budget
+(``NewGreedySelection.java:26-89``) and rewrites the index keeping those
+ranges (``SelectChuncks.java:16-62``). The selected prefixes are the
+query-time "top layers" (``algo_toplayer.cpp:393-474``).
+
+Spark re-expression: positions = one window (row_number over score desc);
+the histogram = one groupBy over bucket exprs collected to the driver (it
+is tiny); selection = driver-side Python heap; chunk extraction = a filter
+on posting position + re-encode. Exact top-k in this engine comes from
+Block-Max WAND — the top layers here are the *approximate budgeted*
+candidate path kept for reference parity, and tests measure its recall
+against the exact engine rather than asserting rank identity.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+# geometric bucket parameters (Selection.java:33-55 semantics: length
+# buckets grow x1.1 from 4, rank buckets x1.4 from 11)
+LEN_BASE, LEN_START = 1.1, 4.0
+RANK_BASE, RANK_START = 1.4, 11.0
+
+
+def len_bucket(col):
+    """floor(log_{1.1}(max(len,start)/start)) — geometric list-length bucket."""
+    x = F.greatest(col.cast("double"), F.lit(LEN_START))
+    return F.floor(F.log(x / F.lit(LEN_START)) / math.log(LEN_BASE)) \
+        .cast("int")
+
+
+def rank_bucket(col):
+    x = F.greatest(col.cast("double") + 1, F.lit(RANK_START))
+    return F.floor(F.log(x / F.lit(RANK_START)) / math.log(RANK_BASE)) \
+        .cast("int")
+
+
+def posting_positions(scored: DataFrame) -> DataFrame:
+    """(term, doc_id, pos): impact order — score desc, doc_id asc tie-break
+    (the reference's in-list BM25-descending order, WWW.java:211-247)."""
+    w = Window.partitionBy("term").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return scored.select(
+        "term", "doc_id", "score_q",
+        (F.row_number().over(w) - 1).alias("pos"))
+
+
+def quality_matrix(scored: DataFrame, golden: DataFrame) -> pd.DataFrame:
+    """2-D histogram: for each (len_bucket, rank_bucket), hits = golden-doc
+    postings landing there; accesses = all postings there (Q4/Q5).
+
+    ``golden`` = (qid, doc_id) ground truth with a `term` column per query
+    term (the exploded reference model, NestedQueryTrace.java:72-137)."""
+    pos = posting_positions(scored)
+    df = scored.groupBy("term").agg(F.count("*").alias("list_len"))
+    pos = pos.join(df, "term") \
+        .withColumn("lb", len_bucket(F.col("list_len"))) \
+        .withColumn("rb", rank_bucket(F.col("pos")))
+    hits = (pos.join(golden.select("term", "doc_id").distinct(),
+                     ["term", "doc_id"])
+            .groupBy("lb", "rb").agg(F.count("*").alias("hits")))
+    acc = pos.groupBy("lb", "rb").agg(F.count("*").alias("accesses"))
+    m = (acc.join(hits, ["lb", "rb"], "left")
+         .fillna(0, subset=["hits"])
+         .orderBy("lb", "rb").toPandas())
+    m["density"] = m["hits"] / m["accesses"].clip(lower=1)
+    return m
+
+
+def greedy_select_prefixes(scored: DataFrame, matrix: pd.DataFrame,
+                           budget_postings: int) -> dict[str, int]:
+    """Driver-side greedy: allocate prefix depths per list, highest
+    (density per posting) first, until the posting budget is exhausted
+    (NewGreedySelection.java:26-89 semantics, posting- not byte-budget).
+
+    Returns {term: prefix_len}."""
+    lists = scored.groupBy("term").agg(F.count("*").alias("n")).collect()
+    dens = {(int(r["lb"]), int(r["rb"])): float(r["density"])
+            for _, r in matrix.iterrows()}
+
+    def lb_of(n):
+        return int(math.floor(math.log(max(n, LEN_START) / LEN_START)
+                              / math.log(LEN_BASE)))
+
+    def rank_edges(n):
+        edges, hi = [], 0
+        b = 0
+        while hi < n:
+            nxt = int(math.ceil(RANK_START * RANK_BASE ** (b + 1))) - 1
+            edges.append((hi, min(nxt, n)))
+            hi = nxt
+            b += 1
+        return edges
+
+    heap = []
+    for r in lists:
+        term, n = r["term"], int(r["n"])
+        lb = lb_of(n)
+        for bi, (lo, hi) in enumerate(rank_edges(n)):
+            d = dens.get((lb, bi), 0.0)
+            # chunks must be taken in order per list → encode chunk index;
+            # negative density for a min-heap
+            heap.append((-d, term, bi, lo, hi))
+    heapq.heapify(heap)
+    taken: dict[str, int] = {}
+    next_chunk: dict[str, int] = {}
+    spent = 0
+    deferred: list = []
+    while heap and spent < budget_postings:
+        negd, term, bi, lo, hi = heapq.heappop(heap)
+        if next_chunk.get(term, 0) != bi:
+            deferred.append((negd, term, bi, lo, hi))
+            continue
+        size = hi - lo
+        if spent + size > budget_postings:
+            continue
+        taken[term] = hi
+        next_chunk[term] = bi + 1
+        spent += size
+        # chunks unblocked by this selection re-enter consideration
+        if deferred:
+            for item in deferred:
+                heapq.heappush(heap, item)
+            deferred = []
+    return taken
+
+
+def extract_top_layers(scored: DataFrame, prefix_lens: dict[str, int]
+                       ) -> DataFrame:
+    """Rewrite: keep only each list's selected impact-ordered prefix
+    (SelectChuncks.java:16-62 analogue). Output postings shape."""
+    spark = scored.sparkSession
+    sel = spark.createDataFrame(
+        [(t, n) for t, n in prefix_lens.items()], "term string, keep long")
+    pos = posting_positions(scored)
+    return (pos.join(F.broadcast(sel), "term")
+            .where(F.col("pos") < F.col("keep"))
+            .select("term", "doc_id", "score_q"))
+
+
+def toplayer_topk(top_layers: DataFrame, queries: DataFrame,
+                  k: int = 10) -> DataFrame:
+    """Budgeted approximate candidate generation over top layers only —
+    the reference's flash-fetch shape (X1/X5/X7): union the selected
+    prefixes of the query's terms, group-sum, top-k. Recall < 1 by design;
+    compare against the exact WAND path to quantify."""
+    qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
+    scored = top_layers.join(F.broadcast(qterms), "term")
+    agg = scored.groupBy("qid", "doc_id").agg(F.sum("score_q").alias("score_q"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (agg.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+            .where(F.col("rank") < k)
+            .select("qid", "rank", "doc_id", "score_q"))

@@ -256,6 +256,43 @@ def topk_bmwand(segments: list[Segment], k: int):
     return dids, scs
 
 
+class _CachingSegment:
+    """Segment wrapper memoizing block decodes — queries sharing a term in
+    the same worker decode each block once (the reference keeps loaded
+    top-layer arrays resident across queries, algo_toplayer.cpp:393-474)."""
+
+    __slots__ = ("seg", "_blocks")
+
+    def __init__(self, seg: Segment):
+        self.seg = seg
+        self._blocks: dict[int, tuple] = {}
+
+    def __getattr__(self, name):
+        return getattr(self.seg, name)
+
+    def decode_block(self, i: int):
+        b = self._blocks.get(i)
+        if b is None:
+            b = self.seg.decode_block(i)
+            self._blocks[i] = b
+        return b
+
+    def decode_all(self):
+        parts = [self.decode_block(i) for i in range(self.seg.n_blocks)]
+        if not parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return tuple(np.concatenate(cols) for cols in zip(*parts))
+
+    def first_block_geq(self, did: int) -> int:
+        return self.seg.first_block_geq(did)
+
+
+# per-worker cache of broadcast segment dicts (python workers are reused
+# across tasks, so hot lists decode once per executor, not once per task)
+_BC_SEGMENTS: dict[int, dict[str, _CachingSegment]] = {}
+
+
 def _query_group(pdf: pd.DataFrame, k: int, use_wand: bool) -> pd.DataFrame:
     qid = int(pdf["qid"].iloc[0])
     segs = [segment_from_row(row) for _, row in pdf.iterrows()]
@@ -271,11 +308,27 @@ def _query_group(pdf: pd.DataFrame, k: int, use_wand: bool) -> pd.DataFrame:
 
 
 def wand_topk(segments: DataFrame, queries: DataFrame, k: int = 10,
-              use_wand: bool = True) -> DataFrame:
+              use_wand: bool = True, mode: str = "join") -> DataFrame:
     """queries (qid, terms array<string>) × segments → (qid, rank, doc_id,
-    score_q). Queries whose terms all miss the index produce no rows."""
+    score_q). Queries whose terms all miss the index produce no rows.
+
+    Two physical strategies (same results, asserted in tests):
+
+    - ``mode="join"``: broadcast the exploded query terms, hash-join against
+      the segment table, groupBy(qid). Segments never shuffle for the join,
+      but each query gets its own copy of its terms' blobs in the final
+      exchange — right when the term universe is huge and queries are few
+      or disjoint (ad-hoc analytics over a 10^12-file index).
+    - ``mode="broadcast"``: collect only the segments matching the batch's
+      term set, broadcast once, fan queries out with mapInPandas. No
+      per-query blob duplication, per-worker decode caching — right for
+      query serving where batches share a bounded working set (hot lists
+      ship once per executor instead of once per query).
+    """
     from .config import ensure_on_executors
     ensure_on_executors(segments.sparkSession)
+    if mode == "broadcast":
+        return _wand_topk_broadcast(segments, queries, k, use_wand)
     qterms = queries.select(
         F.col("qid").cast("long").alias("qid"),
         F.explode("terms").alias("term"),
@@ -283,3 +336,76 @@ def wand_topk(segments: DataFrame, queries: DataFrame, k: int = 10,
     matched = segments.join(F.broadcast(qterms), "term")
     return matched.groupBy("qid").applyInPandas(
         lambda pdf: _query_group(pdf, k, use_wand), schema=RESULT_SCHEMA)
+
+
+class PreparedIndex:
+    """A query-serving handle: the working set of segments is collected and
+    broadcast ONCE, then any number of query batches run against it — the
+    steady-state serving shape (the reference's C++ engine likewise loads
+    its top-layer arrays once per query set, algo_toplayer.cpp:393-474)."""
+
+    def __init__(self, spark: SparkSession, bc):
+        self.spark = spark
+        self.bc = bc
+
+
+def prepare_index(segments: DataFrame,
+                  terms: list[str] | None = None) -> PreparedIndex:
+    """Collect + broadcast the segments for ``terms`` (None = all — only
+    for small indexes)."""
+    from pyspark.sql import SparkSession  # noqa: F401
+    spark = segments.sparkSession
+    seg = segments if terms is None else \
+        segments.where(F.col("term").isin(sorted(set(terms))))
+    rows = seg.collect()
+    payload = [(r["term"], {f: r[f] for f in
+                            ("df", "did_blob", "score_blob", "tf_blob",
+                             "block_last", "block_max", "block_n",
+                             "did_off", "score_off", "tf_off")})
+               for r in rows]
+    return PreparedIndex(spark, spark.sparkContext.broadcast(payload))
+
+
+def wand_topk_prepared(prep: PreparedIndex, queries: DataFrame, k: int = 10,
+                       use_wand: bool = True) -> DataFrame:
+    """Serve a query batch against a PreparedIndex (no driver-side work
+    besides plan submission)."""
+    bc = prep.bc
+
+    def run(batches):
+        val = bc.value
+        key = id(val)
+        hit = _BC_SEGMENTS.get(key)
+        # the cache pins `val`, so a live entry's id cannot be reused by a
+        # different broadcast value (identity check guards the impossible)
+        if hit is not None and hit[0] is val:
+            segs = hit[1]
+        else:
+            segs = {t: _CachingSegment(Segment(**d)) for t, d in val}
+            _BC_SEGMENTS.clear()  # one live batch per worker is enough
+            _BC_SEGMENTS[key] = (val, segs)
+        fn = topk_bmwand if use_wand else topk_exhaustive
+        for pdf in batches:
+            out = []
+            for qid, qterms in zip(pdf["qid"], pdf["terms"]):
+                qsegs = [segs[t] for t in dict.fromkeys(qterms) if t in segs]
+                dids, scs = fn(qsegs, k)
+                n = dids.shape[0]
+                out.append(pd.DataFrame({
+                    "qid": np.full(n, qid, dtype=np.int64),
+                    "rank": np.arange(n, dtype=np.int32),
+                    "doc_id": dids, "score_q": scs}))
+            yield (pd.concat(out, ignore_index=True) if out
+                   else pd.DataFrame({"qid": [], "rank": [], "doc_id": [],
+                                      "score_q": []}))
+
+    return queries.select(F.col("qid").cast("long").alias("qid"), "terms") \
+                  .mapInPandas(run, schema=RESULT_SCHEMA)
+
+
+def _wand_topk_broadcast(segments: DataFrame, queries: DataFrame,
+                         k: int, use_wand: bool) -> DataFrame:
+    terms = sorted({t for r in queries.select("terms").collect()
+                    for t in (r["terms"] or [])})
+    prep = prepare_index(segments, terms)
+    return wand_topk_prepared(prep, queries, k, use_wand)

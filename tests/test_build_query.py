@@ -115,6 +115,42 @@ def test_topk_rank_identity(spark, built, oracle):
                 f"qid={qid} wand={use_wand}: {got.get(qid)} != {expect}"
 
 
+def test_fast_build_identical_to_classic(spark, docs_sf001):
+    """The fused single-shuffle path must produce byte-identical segments
+    to the classic df-join + applyInPandas path."""
+    from candidategeneration_spark.build import (
+        build_postings, build_segments, build_segments_fast, global_stats,
+        global_stats_from_postings, score_postings,
+    )
+    stats = global_stats(docs_sf001)
+    postings = build_postings(docs_sf001).persist()
+    stats2 = global_stats_from_postings(postings, docs_sf001.count())
+    assert stats == stats2
+    classic = {r["term"]: r for r in build_segments(
+        score_postings(postings, stats["n_docs"], stats["avgdl"])).collect()}
+    fast = {r["term"]: r for r in build_segments_fast(
+        postings, stats["n_docs"], stats["avgdl"]).collect()}
+    assert set(classic) == set(fast)
+    for t in classic:
+        for f in ("df", "n_blocks", "block_max", "block_last"):
+            assert classic[t][f] == fast[t][f], (t, f)
+        for f in ("did_blob", "score_blob", "tf_blob"):
+            assert bytes(classic[t][f]) == bytes(fast[t][f]), (t, f)
+
+
+def test_broadcast_mode_matches_join_mode(spark, built, oracle):
+    """Both physical query strategies must return identical results."""
+    segs, _ = built
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in QUERIES],
+        "qid long, terms array<string>")
+    a = sorted(map(tuple, Q.wand_topk(segs, qdf, k=10, mode="join")
+                   .collect()))
+    b = sorted(map(tuple, Q.wand_topk(segs, qdf, k=10, mode="broadcast")
+                   .collect()))
+    assert a == b and len(a) > 0
+
+
 def test_salted_build_identical(spark, docs_sf001, built):
     """Skew-safe two-stage build must produce byte-identical segments
     (resumability analogue: same input → same bytes)."""

@@ -1,0 +1,80 @@
+"""Quality-model training + greedy top-layer selection (SURVEY §2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from candidategeneration_spark import quality as Q
+from candidategeneration_spark.build import (
+    build_postings, global_stats, score_postings,
+)
+from candidategeneration_spark.queryengine import wand_topk
+from candidategeneration_spark.build import build_index
+from candidategeneration_spark.entrysql import QUERY_SET
+
+
+@pytest.fixture(scope="module")
+def scored(spark, docs_sf001):
+    stats = global_stats(docs_sf001)
+    p = build_postings(docs_sf001)
+    return score_postings(p, stats["n_docs"], stats["avgdl"]).cache()
+
+
+@pytest.fixture(scope="module")
+def golden(spark, docs_sf001):
+    """Exact top-10 per query, exploded per query term (the reference
+    ground-truth model shape)."""
+    segments, _ = build_index(docs_sf001, dbigram_distance=None)
+    qdf = spark.createDataFrame([(q, list(t)) for q, t in QUERY_SET],
+                                "qid long, terms array<string>")
+    topk = wand_topk(segments, qdf, k=10)
+    qterms = qdf.select("qid", F.explode("terms").alias("term"))
+    return topk.join(qterms, "qid").select("qid", "term", "doc_id").cache()
+
+
+def test_posting_positions_impact_ordered(scored):
+    pos = Q.posting_positions(scored)
+    rows = pos.where(F.col("term") == "the").orderBy("pos").collect()
+    scores = [r["score_q"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert [r["pos"] for r in rows] == list(range(len(rows)))
+
+
+def test_quality_matrix_shape(scored, golden):
+    m = Q.quality_matrix(scored, golden)
+    assert (m["hits"] <= m["accesses"]).all()
+    assert m["hits"].sum() > 0
+    assert (m["density"] <= 1.0).all()
+
+
+def test_greedy_selection_and_recall(spark, scored, golden):
+    m = Q.quality_matrix(scored, golden)
+    total = scored.count()
+    taken = Q.greedy_select_prefixes(scored, m, budget_postings=total // 3)
+    assert taken and sum(taken.values()) <= total // 3
+    layers = Q.extract_top_layers(scored, taken).cache()
+    n_layers = layers.count()
+    assert 0 < n_layers <= total // 3
+    # budgeted approximate path: recall@10 vs exact engine
+    qdf = spark.createDataFrame([(q, list(t)) for q, t in QUERY_SET],
+                                "qid long, terms array<string>")
+    exact = {(r["qid"], r["doc_id"])
+             for r in golden.select("qid", "doc_id").distinct().collect()}
+
+    def recall_of(prefix_lens):
+        lay = Q.extract_top_layers(scored, prefix_lens)
+        got = {(r["qid"], r["doc_id"])
+               for r in Q.toplayer_topk(lay, qdf, k=10).collect()}
+        return len(got & exact) / len(exact)
+
+    model_recall = recall_of(taken)
+    # baseline with the same budget spread uniformly (prefix ∝ list length)
+    sizes = {r["term"]: int(r["n"])
+             for r in scored.groupBy("term").agg(
+                 F.count("*").alias("n")).collect()}
+    naive = {t: max(1, n // 3) for t, n in sizes.items()}
+    naive_recall = recall_of(naive)
+    # the trained model must not lose to blind uniform truncation, and must
+    # recover well over half the exact top-k at 1/3 the postings
+    assert model_recall >= naive_recall - 0.05, \
+        f"model {model_recall} < naive {naive_recall}"
+    assert model_recall >= 0.35, f"recall {model_recall}"
