@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": entries.q_ann_lsh_buckets,
         "ann_lsh_topk": entries.q_ann_lsh_topk,      # rows-only check
         "ann_cosine_topk": entries.q_ann_cosine_topk,  # rows-only (float)
+        # quality-model training + budgeted top-layer path (Q1-Q8)
+        "quality_matrix": entries.q_quality_matrix,
+        "toplayer_topk": entries.q_toplayer_topk,
+        # HITS DCG-style scoring (A6/M3)
+        "hits_rank": entries.q_hits_rank,
         # relational operator surface (S/J/A/O families)
         "q1_pricing_summary": entries.q_pricing_summary,
         "q3_top_orders": entries.q_top_orders,
@@ -90,6 +95,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_extract": entrysql.sql_mm_extract(),
         "ann_brute_topk": entrysql.sql_ann_brute_topk(),
         "ann_lsh_buckets": entrysql.sql_ann_lsh_buckets(),
+        "quality_matrix": entrysql.sql_quality_matrix(),
+        "toplayer_topk": entrysql.sql_toplayer_topk(),
+        "hits_rank": entrysql.sql_hits_rank(),
         "q1_pricing_summary": entrysql.sql_pricing_summary(),
         "q3_top_orders": entrysql.sql_top_orders(),
         "window_topn": entrysql.sql_window_topn(),

@@ -232,15 +232,15 @@ def score_postings(postings: DataFrame, n_docs: int, avgdl: int) -> DataFrame:
 
 
 def global_stats_from_postings(postings: DataFrame, n_docs: int) -> dict:
-    """Stats without a second corpus scan: total kept tokens from the
-    postings (one row per (doc,term), doc_len repeated → take per-doc
-    first), n_docs from the (metadata-only) corpus count. Token-less docs
+    """Stats without a second corpus scan: total kept tokens = Σ tf over
+    unigram postings (each doc contributes its doc_len exactly once as the
+    sum of its per-term tfs) — a pure map-side partial aggregation, NO
+    shuffle. n_docs from the (metadata-only) corpus count. Token-less docs
     carry no postings but still count in n_docs — same semantics as
     :func:`global_stats` (reference scans every doc, InvertedIndex.java:171).
     """
     uni = postings.where(~F.col("term").contains(PAIR_SEP))
-    row = (uni.groupBy("doc_id").agg(F.first("doc_len").alias("dl"))
-              .agg(F.sum("dl").alias("tot")).collect()[0])
+    row = uni.agg(F.sum("tf").alias("tot")).collect()[0]
     tot = int(row["tot"] or 0)
     return {"n_docs": n_docs, "total_tokens": tot,
             "avgdl": avgdl_floor(tot, n_docs) if n_docs else 0}
@@ -390,7 +390,8 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 dbigram_distance: int | None = DBIGRAM_DISTANCE,
                 salt_buckets: int = 0,
-                persist: bool = True) -> tuple[DataFrame, dict]:
+                persist: bool = True,
+                phase_times: dict | None = None) -> tuple[DataFrame, dict]:
     """End-to-end build → (segments DataFrame, stats dict).
 
     ``persist=True`` materializes the tokenized postings once: the scoring
@@ -399,13 +400,20 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     each reference — at 100 TB that is 5 corpus scans instead of 1. On a
     real cluster use ``StorageLevel.DISK_ONLY`` via checkpoints.py instead
     when postings exceed cluster RAM.
+
+    ``phase_times``: optional dict filled with wall seconds of the
+    materialized sub-phases (benchmark instrumentation).
     """
+    import time as _time
     postings = build_postings(docs, id_col, text_col, dbigram_distance)
     if persist:
         postings = postings.persist()
     # n_docs via parquet metadata / cheap count — no tokenize; total tokens
     # from the postings themselves → the corpus is tokenized exactly once.
+    t0 = _time.time()
     stats = global_stats_from_postings(postings, docs.count())
+    if phase_times is not None:
+        phase_times["tokenize_stats"] = round(_time.time() - t0, 3)
     if dbigram_distance is None and salt_buckets <= 0:
         # unigram-only: fused single-shuffle path (df + score in-kernel)
         return build_segments_fast(postings, stats["n_docs"],

@@ -59,9 +59,16 @@ def get_spark(master: str | None = None, shuffle_partitions: int | None = None,
     if shuffle_partitions is None:
         n = int(cpus) if cpus.isdigit() else (os.cpu_count() or 4)
         shuffle_partitions = max(8, n)
+    # local mode runs "executors" inside the driver JVM; the 1g default heap
+    # thrashes once cached postings + concurrent task memory exceed it (we
+    # measured the stats stage REGRESSING 17s→29s from 4 to 16 cores under
+    # the default). Only effective before the gateway JVM starts — i.e. the
+    # first session of the process — which is exactly the bench/CLI shape.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -217,3 +217,42 @@ def q_term_dictionary(spark, sf_dir):
     from . import textops
     dt = textops.doc_tokens(load_docs(spark, sf_dir))
     return textops.term_dictionary(dt)
+
+
+def q_hits_rank(spark, sf_dir):
+    from . import relops
+    return relops.hits_rank(spark, sf_dir)
+
+
+def q_quality_matrix(spark, sf_dir):
+    """Quality-model training histogram (Q4/Q5): ground truth = exact
+    top-10 per benchmark query from our own scorer (the complex-ranker
+    role), bucketed by exact-integer geometric (list-len, rank) edges."""
+    from . import quality
+    scored = _scored_unigrams(spark, sf_dir)
+    queries = _query_df(spark)
+    golden = quality.golden_topk(scored, queries, k=TOPK)
+    qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
+    golden_terms = golden.join(qterms, "qid").select("term", "doc_id")
+    return quality.quality_matrix_df(scored, golden_terms)
+
+
+TOPLAYER_PREFIX = 64
+
+
+def q_toplayer_topk(spark, sf_dir):
+    """Budgeted top-layer candidate generation (Q6-Q8/X1): keep each list's
+    first TOPLAYER_PREFIX impact-ordered postings (the selected 'top layer'),
+    score queries over prefixes only — the reference's approximate
+    flash-fetch path, deterministic here (fixed budget → SQL-expressible)."""
+    from pyspark.sql import Window
+    from .quality import toplayer_topk
+    scored = _scored_unigrams(spark, sf_dir)
+    w = Window.partitionBy("term").orderBy(
+        F.desc("score_q"), F.asc("doc_id"))
+    top = (scored.withColumn("pos", F.row_number().over(w) - 1)
+           .where(F.col("pos") < TOPLAYER_PREFIX)
+           .select("term", "doc_id", "score_q"))
+    res = toplayer_topk(top, _query_df(spark), k=TOPK)
+    return res.select("qid", F.col("rank").cast("long").alias("rank"),
+                      "doc_id", "score_q")

@@ -460,3 +460,103 @@ def sql_term_dictionary() -> str:
     return (f"WITH {_TOK_CTE.strip()} "
             "SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT)"
             " AS tid FROM (SELECT DISTINCT term FROM tf)")
+
+
+def sql_hits_rank() -> str:
+    """Oracle for relops.hits_rank: DCG weights embedded as exact ints from
+    the same Python source (relops.hits_weights) — no runtime log()."""
+    from .relops import HITS_MAX_RANK, hits_weights
+    wvals = ", ".join(f"({p}, {w})" for p, w in hits_weights())
+    return (
+        "WITH w(pos, weight) AS (SELECT * FROM (VALUES "
+        + wvals + ") v(pos, weight)), "
+        "ranked AS ("
+        "  SELECT user_id, value,"
+        "         row_number() OVER (PARTITION BY user_id"
+        "           ORDER BY value DESC, event_id) AS pos"
+        "  FROM events), "
+        "scores AS ("
+        "  SELECT user_id,"
+        "         CAST(sum(CAST(trunc(value * weight) AS BIGINT)) AS BIGINT)"
+        "           AS hit_score"
+        "  FROM ranked JOIN w USING (pos)"
+        f"  WHERE pos <= {HITS_MAX_RANK}"
+        "  GROUP BY user_id) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, hit_score,"
+        " CAST(row_number() OVER (ORDER BY hit_score DESC, user_id)"
+        " AS BIGINT) AS hit_rank FROM scores")
+
+
+def _ranges_values(name: str, ranges) -> str:
+    rows = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in ranges)
+    return (f"{name}r({name}, {name}_lo, {name}_hi) AS "
+            f"(SELECT * FROM (VALUES {rows}) v(b, lo, hi))")
+
+
+_GOLDEN_CTE = f"""
+qscore AS (
+  SELECT q.qid, s.doc_id, sum(s.score_q) AS s
+  FROM queries q JOIN scored s ON s.term = q.term
+  GROUP BY q.qid, s.doc_id
+),
+golden AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS r
+    FROM qscore) WHERE r <= {TOPK}
+)
+"""
+
+
+def sql_quality_matrix() -> str:
+    """Oracle for quality.quality_matrix_df (golden = exact top-10/query)."""
+    from .quality import LEN_BASE, LEN_START, RANK_BASE, RANK_START, \
+        geometric_ranges
+    lenr = _ranges_values("lb", geometric_ranges(LEN_BASE, LEN_START))
+    rankr = _ranges_values("rb", geometric_ranges(RANK_BASE, RANK_START))
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_query_values()}, "
+        f"{_GOLDEN_CTE.strip()}, {lenr}, {rankr}, "
+        "gterms AS ("
+        "  SELECT DISTINCT q.term, g.doc_id"
+        "  FROM golden g JOIN queries q USING (qid)), "
+        "p AS ("
+        "  SELECT term, doc_id, df AS list_len,"
+        "         row_number() OVER (PARTITION BY term"
+        "           ORDER BY score_q DESC, doc_id) - 1 AS pos"
+        "  FROM scored), "
+        "pb AS ("
+        "  SELECT p.term, p.doc_id, lbr.lb, rbr.rb"
+        "  FROM p"
+        "  JOIN lbr ON p.list_len >= lbr.lb_lo AND p.list_len < lbr.lb_hi"
+        "  JOIN rbr ON p.pos >= rbr.rb_lo AND p.pos < rbr.rb_hi), "
+        "acc AS (SELECT lb, rb, count(*) AS accesses FROM pb GROUP BY lb, rb), "
+        "hits AS ("
+        "  SELECT pb.lb, pb.rb, count(*) AS hits"
+        "  FROM pb JOIN gterms g ON g.term = pb.term AND g.doc_id = pb.doc_id"
+        "  GROUP BY pb.lb, pb.rb) "
+        "SELECT CAST(acc.lb AS INT) AS lb, CAST(acc.rb AS INT) AS rb,"
+        " CAST(acc.accesses AS BIGINT) AS accesses,"
+        " CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits"
+        " FROM acc LEFT JOIN hits ON acc.lb = hits.lb AND acc.rb = hits.rb")
+
+
+def sql_toplayer_topk(prefix: int = 64, k: int = TOPK) -> str:
+    """Oracle for the budgeted top-layer path (fixed prefix budget)."""
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_query_values()}, "
+        "top AS ("
+        "  SELECT term, doc_id, score_q FROM ("
+        "    SELECT term, doc_id, score_q,"
+        "           row_number() OVER (PARTITION BY term"
+        "             ORDER BY score_q DESC, doc_id) - 1 AS pos"
+        f"    FROM scored) WHERE pos < {prefix}), "
+        "qscore2 AS ("
+        "  SELECT q.qid, t.doc_id, CAST(sum(t.score_q) AS BIGINT) AS score_q"
+        "  FROM queries q JOIN top t ON t.term = q.term"
+        "  GROUP BY q.qid, t.doc_id) "
+        "SELECT CAST(qid AS BIGINT) AS qid,"
+        " CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, doc_id) - 1 AS BIGINT) AS rank,"
+        " doc_id, score_q FROM qscore2"
+        f" QUALIFY rank < {k}")

@@ -47,6 +47,79 @@ def rank_bucket(col):
         .cast("int")
 
 
+def geometric_ranges(base: float, start: float,
+                     max_val: int = 1 << 40) -> list[tuple[int, int, int]]:
+    """Exact-integer bucket ranges [(bucket, lo, hi)), hi exclusive] for the
+    reference's geometric buckets (``Selection.java:33-55``): bucket 0 is
+    [0, ceil(start)), bucket b>0 is [ceil(start*base^(b-1)), ceil(start*base^b)).
+
+    Edges are materialized as Python ints ONCE and embedded identically in
+    the Spark plan and the DuckDB oracle SQL — no runtime ``log`` on either
+    side, so bucket assignment can never diverge on float ulps.
+    """
+    edges = [0]
+    b = 0
+    while edges[-1] <= max_val:
+        e = math.ceil(start * base ** b)
+        if e > edges[-1]:
+            edges.append(e)
+        b += 1
+    return [(i, lo, hi) for i, (lo, hi) in
+            enumerate(zip(edges[:-1], edges[1:]))]
+
+
+def _ranges_df(spark, name: str, ranges: list[tuple[int, int, int]]):
+    return spark.createDataFrame(
+        ranges, f"{name} int, {name}_lo long, {name}_hi long")
+
+
+def golden_topk(scored: DataFrame, queries: DataFrame, k: int = 10
+                ) -> DataFrame:
+    """Exact (qid, doc_id) ground truth: top-k docs per query by summed
+    quantized score — the complex-ranker top-k role
+    (``NestedQueryTrace.java:93-103``), computed from our own exact scorer."""
+    qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
+    agg = (scored.join(F.broadcast(qterms), "term")
+           .groupBy("qid", "doc_id").agg(F.sum("score_q").alias("s")))
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (agg.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= k).select("qid", "doc_id"))
+
+
+def quality_matrix_df(scored: DataFrame, golden_terms: DataFrame
+                      ) -> DataFrame:
+    """Distributed quality-model histogram → (lb, rb, accesses, hits).
+
+    Q4/Q5 parity (``NewQualityModel.java:148-195``): every posting lands in
+    a (list-length bucket, impact-rank bucket) cell; ``hits`` counts the
+    cells' postings whose (term, doc_id) appears in the ground truth,
+    ``accesses`` counts all. Bucket edges are exact ints (geometric_ranges).
+    The result is tiny (≤ ~200×55 cells) — the driver-side greedy selector
+    consumes it directly.
+    """
+    spark = scored.sparkSession
+    w = Window.partitionBy("term").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    pos = scored.select(
+        "term", "doc_id", F.col("df").alias("list_len"),
+        (F.row_number().over(w) - 1).alias("pos"))
+    lenr = _ranges_df(spark, "lb", geometric_ranges(LEN_BASE, LEN_START))
+    rankr = _ranges_df(spark, "rb", geometric_ranges(RANK_BASE, RANK_START))
+    pos = (pos.join(F.broadcast(lenr),
+                    (F.col("list_len") >= F.col("lb_lo")) &
+                    (F.col("list_len") < F.col("lb_hi")))
+           .join(F.broadcast(rankr),
+                 (F.col("pos") >= F.col("rb_lo")) &
+                 (F.col("pos") < F.col("rb_hi"))))
+    g = golden_terms.select("term", "doc_id").distinct()
+    hits = (pos.join(g, ["term", "doc_id"])
+            .groupBy("lb", "rb").agg(F.count("*").alias("hits")))
+    acc = pos.groupBy("lb", "rb").agg(F.count("*").alias("accesses"))
+    return (acc.join(hits, ["lb", "rb"], "left")
+            .select("lb", "rb", F.col("accesses").cast("long"),
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+                     .alias("hits")))
+
+
 def posting_positions(scored: DataFrame) -> DataFrame:
     """(term, doc_id, pos): impact order — score desc, doc_id asc tie-break
     (the reference's in-list BM25-descending order, WWW.java:211-247)."""

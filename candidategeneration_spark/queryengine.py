@@ -58,11 +58,15 @@ def _final_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def topk_exhaustive(segments: list[Segment], k: int):
-    """Decode-everything DAAT: integer group-sum over all postings."""
+    """Decode-everything DAAT: integer group-sum over all postings.
+
+    Fully NumPy-vectorized (~50ns/posting) — the baseline the WAND path
+    must beat by actually skipping work (see :func:`topk_auto`)."""
     if not segments:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    dids = np.concatenate([s.decode_all()[0] for s in segments])
-    scs = np.concatenate([s.decode_all()[1] for s in segments])
+    decoded = [s.decode_all() for s in segments]
+    dids = np.concatenate([d[0] for d in decoded])
+    scs = np.concatenate([d[1] for d in decoded])
     uniq, inv = np.unique(dids, return_inverse=True)
     sums = np.zeros(uniq.shape[0], dtype=np.int64)
     np.add.at(sums, inv, scs)
@@ -256,6 +260,37 @@ def topk_bmwand(segments: list[Segment], k: int):
     return dids, scs
 
 
+# Python-loop WAND costs ~50× the vectorized per-posting cost, so pruning
+# must be able to skip ≳98% of postings to win. That requires (a) positive
+# upper bounds everywhere (negative-IDF stopword lists weaken the safe
+# bound) and (b) strong length skew: a short list drives the pivot while the
+# long lists get skipped block-wise.
+WAND_STEP_FACTOR = 50
+WAND_MIN_TOTAL = 100_000
+
+
+def topk_auto(segments: list[Segment], k: int):
+    """Physical-strategy dispatch; both kernels return identical results
+    (asserted in tests), so this is pure cost-based plan choice — the
+    engine-side analogue of Catalyst picking broadcast vs shuffle join."""
+    if not segments:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    dfs = [int(s.df) for s in segments]
+    total = sum(dfs)
+    positive = all(int(np.max(s.block_max)) > 0
+                   for s in segments if s.n_blocks > 0)
+    if positive and total >= WAND_MIN_TOTAL \
+            and min(dfs) * WAND_STEP_FACTOR < total:
+        return topk_bmwand(segments, k)
+    return topk_exhaustive(segments, k)
+
+
+def _kernel(use_wand) -> "callable":
+    if use_wand == "auto":
+        return topk_auto
+    return topk_bmwand if use_wand else topk_exhaustive
+
+
 class _CachingSegment:
     """Segment wrapper memoizing block decodes — queries sharing a term in
     the same worker decode each block once (the reference keeps loaded
@@ -293,10 +328,10 @@ class _CachingSegment:
 _BC_SEGMENTS: dict[int, dict[str, _CachingSegment]] = {}
 
 
-def _query_group(pdf: pd.DataFrame, k: int, use_wand: bool) -> pd.DataFrame:
+def _query_group(pdf: pd.DataFrame, k: int, use_wand) -> pd.DataFrame:
     qid = int(pdf["qid"].iloc[0])
     segs = [segment_from_row(row) for _, row in pdf.iterrows()]
-    fn = topk_bmwand if use_wand else topk_exhaustive
+    fn = _kernel(use_wand)
     dids, scs = fn(segs, k)
     n = dids.shape[0]
     return pd.DataFrame({
@@ -308,7 +343,7 @@ def _query_group(pdf: pd.DataFrame, k: int, use_wand: bool) -> pd.DataFrame:
 
 
 def wand_topk(segments: DataFrame, queries: DataFrame, k: int = 10,
-              use_wand: bool = True, mode: str = "join") -> DataFrame:
+              use_wand="auto", mode: str = "join") -> DataFrame:
     """queries (qid, terms array<string>) × segments → (qid, rank, doc_id,
     score_q). Queries whose terms all miss the index produce no rows.
 
@@ -367,7 +402,7 @@ def prepare_index(segments: DataFrame,
 
 
 def wand_topk_prepared(prep: PreparedIndex, queries: DataFrame, k: int = 10,
-                       use_wand: bool = True) -> DataFrame:
+                       use_wand="auto") -> DataFrame:
     """Serve a query batch against a PreparedIndex (no driver-side work
     besides plan submission)."""
     bc = prep.bc
@@ -384,7 +419,7 @@ def wand_topk_prepared(prep: PreparedIndex, queries: DataFrame, k: int = 10,
             segs = {t: _CachingSegment(Segment(**d)) for t, d in val}
             _BC_SEGMENTS.clear()  # one live batch per worker is enough
             _BC_SEGMENTS[key] = (val, segs)
-        fn = topk_bmwand if use_wand else topk_exhaustive
+        fn = _kernel(use_wand)
         for pdf in batches:
             out = []
             for qid, qterms in zip(pdf["qid"], pdf["terms"]):
@@ -404,7 +439,7 @@ def wand_topk_prepared(prep: PreparedIndex, queries: DataFrame, k: int = 10,
 
 
 def _wand_topk_broadcast(segments: DataFrame, queries: DataFrame,
-                         k: int, use_wand: bool) -> DataFrame:
+                         k: int, use_wand) -> DataFrame:
     terms = sorted({t for r in queries.select("terms").collect()
                     for t in (r["terms"] or [])})
     prep = prepare_index(segments, terms)

@@ -78,3 +78,24 @@ def test_greedy_selection_and_recall(spark, scored, golden):
     assert model_recall >= naive_recall - 0.05, \
         f"model {model_recall} < naive {naive_recall}"
     assert model_recall >= 0.35, f"recall {model_recall}"
+
+
+def test_geometric_ranges_exact_partition():
+    """Ranges must tile [0, max) with no gaps/overlaps, exact ints."""
+    for base, start in ((Q.LEN_BASE, Q.LEN_START),
+                        (Q.RANK_BASE, Q.RANK_START)):
+        r = Q.geometric_ranges(base, start, 1 << 40)
+        assert r[0][1] == 0
+        for (b1, lo1, hi1), (b2, lo2, hi2) in zip(r, r[1:]):
+            assert b2 == b1 + 1 and lo2 == hi1 and hi2 > lo2
+        assert r[-1][2] > (1 << 40)
+        assert all(isinstance(x, int) for row in r for x in row)
+
+
+def test_hits_weights_monotone_exact():
+    from candidategeneration_spark.relops import HITS_SCALE, hits_weights
+    w = hits_weights(64)
+    assert w[0] == (1, HITS_SCALE)  # log2(1)+1 == 1
+    vals = [x for _, x in w]
+    assert vals == sorted(vals, reverse=True)
+    assert all(isinstance(v, int) and v > 0 for v in vals)
