@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (stubbed decode, real Spark plumbing)
         "mm_extract": entries.q_mm_extract,
         "frame_sample": entries.q_frame_sample,      # rows-only check
+        "mm_features": entries.q_mm_features,        # rows-only (floats)
         # similarity search over embeddings
         "ann_brute_topk": entries.q_ann_brute_topk,
         "ann_lsh_buckets": entries.q_ann_lsh_buckets,

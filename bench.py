@@ -77,6 +77,27 @@ def main() -> None:
     timings["query_wand"] = round(time.time() - t0, 3)
     extras["query_mean_ms"] = round(timings["query_wand"] / N_QUERIES * 1e3, 2)
     extras["query_result_rows"] = n_res
+
+    # per-query latency DISTRIBUTION (BASELINE metric asks for p99): the
+    # serving kernel timed query-by-query against the prepared index —
+    # the same per-query shape as the reference's C++ engine loop.
+    import numpy as np
+    from candidategeneration_spark.indexcodec import Segment
+    from candidategeneration_spark.queryengine import topk_auto
+    seg_rows = seg_uni.collect()
+    fields = ("df", "did_blob", "score_blob", "tf_blob", "block_last",
+              "block_max", "block_n", "did_off", "score_off", "tf_off")
+    local = {r["term"]: Segment(**{f: r[f] for f in fields})
+             for r in seg_rows}
+    lat = []
+    for _, terms in ((i, base[i % len(base)]) for i in range(N_QUERIES)):
+        segs = [local[t] for t in dict.fromkeys(terms) if t in local]
+        t0 = time.time()
+        topk_auto(segs, 10)
+        lat.append(time.time() - t0)
+    lat_ms = np.array(lat) * 1e3
+    extras["query_kernel_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
+    extras["query_kernel_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 3)
     extras["n_postings_unigram"] = n_post_uni
     extras["n_postings_dbigram"] = n_post_bi
 

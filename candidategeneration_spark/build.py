@@ -271,13 +271,12 @@ def _encode_sorted_run(pdf: pd.DataFrame, n_docs: int, avgdl: int,
         scores = bm25_quantized_np(
             tfs, pdf["maxtf"].to_numpy(np.int64), dfs,
             pdf["doc_len"].to_numpy(np.int64), n_docs, avgdl)
-    rows = []
-    for s, e in zip(starts, ends):
-        seg = indexcodec.encode_postings(dids[s:e], scores[s:e], tfs[s:e])
-        row = indexcodec.segment_to_row(seg)
-        row["term"] = terms[s]
-        rows.append(row)
-    return pd.DataFrame(rows)
+    rows = indexcodec.encode_groups(dids, scores, tfs, starts, ends)
+    out = pd.DataFrame(rows)
+    out["term"] = terms[starts]
+    return out[["term", "df", "n_blocks", "did_blob", "score_blob",
+                "tf_blob", "block_last", "block_max", "block_n",
+                "did_off", "score_off", "tf_off"]]
 
 
 def _stream_encode(batches, n_docs: int, avgdl: int, score_in: bool):
@@ -313,27 +312,20 @@ def build_segments_fast(postings: DataFrame, n_docs: int, avgdl: int,
     (partial groups don't know df) — use :func:`build_segments` there.
     """
     cols = postings.select("term", "doc_id", "tf", "doc_len", "maxtf")
-    part = cols.repartition(num_partitions, "term") if num_partitions \
-        else cols.repartition("term")
+    if num_partitions is None:
+        # explicit count (AQE coalescing would shrink a bare
+        # repartition("term") to ~advisory-size partitions — measured 21
+        # partitions for a 16-core run, which turns term-hash skew into a
+        # straggler tail). 4×cores keeps waves balanced under skew.
+        sc = postings.sparkSession.sparkContext
+        num_partitions = sc.defaultParallelism * 4
+    part = cols.repartition(num_partitions, "term")
     part = part.sortWithinPartitions("term", "doc_id")
 
     def run(batches):
         yield from _stream_encode(batches, n_docs, avgdl, score_in=False)
 
     return part.mapInPandas(run, schema=SEGMENT_SCHEMA)
-
-def _segment_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One applyInPandas group = one term's full posting set."""
-    term = pdf["term"].iloc[0]
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    dids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
-    scores = pdf["score_q"].to_numpy(dtype=np.int64)[order]
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
-    seg = indexcodec.encode_postings(dids, scores, tfs)
-    row = indexcodec.segment_to_row(seg)
-    row["term"] = term
-    return pd.DataFrame([row])
-
 
 def _partial_run(pdf: pd.DataFrame) -> pd.DataFrame:
     """Stage-1 salted group: emit one sorted run (uncompressed arrays)."""
@@ -367,17 +359,26 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
 def build_segments(scored: DataFrame, salt_buckets: int = 0) -> DataFrame:
     """scored postings → one segment row per term.
 
-    ``salt_buckets=0``: single ``groupBy(term)`` (fine when no term's list
-    exceeds executor memory). ``salt_buckets=S>0``: two-stage salted build —
-    every term flows through stage 1 with salt = doc_id % S (deterministic,
-    no RNG), bounding any single task's group to ~df/S postings.
+    ``salt_buckets=0``: one explicit term-hash shuffle + Tungsten sort +
+    streaming batched encode (same kernel as the fused unigram path; an
+    ``applyInPandas`` per term would pay one UDF invocation per term — ruinous
+    for d-bigram dictionaries with millions of pair terms).
+    ``salt_buckets=S>0``: two-stage salted build — every term flows through
+    stage 1 with salt = doc_id % S (deterministic, no RNG), bounding any
+    single task's group to ~df/S postings.
     """
     from .config import ensure_on_executors
     ensure_on_executors(scored.sparkSession)
     cols = scored.select("term", "doc_id", "tf", "score_q")
     if salt_buckets <= 0:
-        return cols.groupBy("term").applyInPandas(
-            _segment_rows, schema=SEGMENT_SCHEMA)
+        sc = scored.sparkSession.sparkContext
+        part = cols.repartition(sc.defaultParallelism * 4, "term") \
+                   .sortWithinPartitions("term", "doc_id")
+
+        def run(batches):
+            yield from _stream_encode(batches, 0, 0, score_in=True)
+
+        return part.mapInPandas(run, schema=SEGMENT_SCHEMA)
     salted = cols.withColumn(
         "salt", F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int"))
     runs = salted.groupBy("term", "salt").applyInPandas(

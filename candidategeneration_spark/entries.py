@@ -169,6 +169,12 @@ def q_frame_sample(spark, sf_dir):
     return mmops.frame_sample(docs)
 
 
+def q_mm_features(spark, sf_dir):
+    from . import mmops
+    docs = mmops.with_fake_payload(load_docs(spark, sf_dir))
+    return mmops.byte_histogram_features(docs)
+
+
 # ---------------------------------------------------------------------------
 # Relational entries
 # ---------------------------------------------------------------------------

@@ -36,12 +36,16 @@ _SEVEN = _U64(7)
 _MASK7 = _U64(0x7F)
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a 1-D array of non-negative ints. Vectorized."""
+def vbyte_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a 1-D array of non-negative ints. Vectorized.
+
+    Returns (encoded bytes, int64 offsets[n+1]) where value i occupies
+    ``bytes[offsets[i]:offsets[i+1]]`` — lets callers slice out byte ranges
+    of contiguous sub-runs (the batched multi-term encoder)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.shape[0]
     if n == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     for i in range(1, 10):
         nbytes += (v >= (_U64(1) << _U64(7 * i))).astype(np.int64)
@@ -57,7 +61,12 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         payload = ((v[mask] >> _U64(7 * j)) & _MASK7).astype(np.uint8)
         cont = ((nbytes[mask] > j + 1).astype(np.uint8)) << 7
         out[idx] = payload | cont
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints. Vectorized."""
+    return vbyte_encode_with_offsets(values)[0]
 
 
 def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
@@ -78,6 +87,19 @@ def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
         (_SEVEN * pos_in_group.astype(np.uint64))
     )
     return np.add.reduceat(contrib, starts)
+
+
+def zigzag_encode(vals: np.ndarray) -> np.ndarray:
+    """int64 → uint64 zigzag (0,-1,1,-2 → 0,1,2,3): negative quantized BM25
+    scores (unsmoothed IDF, df > N/2 — the LONGEST lists) would otherwise
+    VByte-encode as 10 bytes each via two's-complement."""
+    a = np.ascontiguousarray(vals, dtype=np.int64)
+    return ((a << 1) ^ (a >> 63)).view(np.uint64)
+
+
+def zigzag_decode(vals: np.ndarray) -> np.ndarray:
+    u = np.ascontiguousarray(vals, dtype=np.uint64)
+    return ((u >> _U64(1)).view(np.int64)) ^ -((u & _U64(1)).view(np.int64))
 
 
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
@@ -147,7 +169,7 @@ class Segment:
             # gaps within a block are relative to the previous block's last
             # docID so every block decodes independently (random access).
             dids += self.block_last[i - 1]
-        scores = vbyte_decode(self.score_blob[s0:s1]).astype(np.int64)
+        scores = zigzag_decode(vbyte_decode(self.score_blob[s0:s1]))
         tfs = vbyte_decode(self.tf_blob[t0:t1]).astype(np.int64)
         return dids, scores, tfs
 
@@ -196,7 +218,7 @@ def encode_postings(doc_ids: np.ndarray, scores: np.ndarray,
             [base[:1].astype(np.uint64), np.diff(dids).astype(np.uint64)]
         )
         db = vbyte_encode(gaps)
-        sb = vbyte_encode(scores[lo:hi])
+        sb = vbyte_encode(zigzag_encode(scores[lo:hi]))
         tb = vbyte_encode(tfs[lo:hi])
         did_parts.append(db)
         score_parts.append(sb)
@@ -220,6 +242,56 @@ def encode_postings(doc_ids: np.ndarray, scores: np.ndarray,
         score_off=score_off,
         tf_off=tf_off,
     )
+
+
+def encode_groups(dids: np.ndarray, scores: np.ndarray, tfs: np.ndarray,
+                  starts: np.ndarray, ends: np.ndarray) -> list[dict]:
+    """Batched encoder for MANY terms at once (rows in (term,doc_id) order,
+    groups contiguous at [starts[i], ends[i])). The per-term fast path:
+    long-tail dictionaries (unique identifiers at 10^12-file scale) make
+    one-call-per-term encoding the build bottleneck — ~50µs of NumPy call
+    overhead per 1-posting list. Here the whole batch is VByte-encoded in
+    THREE vectorized calls and each term's blobs are sliced out by byte
+    range; only multi-block terms (> BLOCK_SIZE postings) fall back to
+    :func:`encode_postings`. Returns segment_to_row-shaped dicts (term not
+    filled)."""
+    sizes = ends - starts
+    n = dids.shape[0]
+    # within-group d-gaps: plain diff everywhere, group heads reset to the
+    # absolute docID (the "first" of [first, gaps...])
+    gaps = np.empty(n, dtype=np.int64)
+    if n:
+        gaps[1:] = dids[1:] - dids[:-1]
+        gaps[starts] = dids[starts]
+    enc_d, off_d = vbyte_encode_with_offsets(gaps.astype(np.uint64))
+    enc_s, off_s = vbyte_encode_with_offsets(zigzag_encode(scores))
+    enc_t, off_t = vbyte_encode_with_offsets(tfs.astype(np.uint64))
+    gmax = np.maximum.reduceat(scores, starts) if n else np.empty(0, np.int64)
+    rows: list[dict] = []
+    small = sizes <= BLOCK_SIZE
+    for gi in range(starts.shape[0]):
+        s, e = int(starts[gi]), int(ends[gi])
+        if not small[gi]:
+            rows.append(segment_to_row(
+                encode_postings(dids[s:e], scores[s:e], tfs[s:e])))
+            continue
+        dlo, dhi = int(off_d[s]), int(off_d[e])
+        slo, shi = int(off_s[s]), int(off_s[e])
+        tlo, thi = int(off_t[s]), int(off_t[e])
+        rows.append({
+            "df": int(sizes[gi]),
+            "n_blocks": 1,
+            "did_blob": enc_d[dlo:dhi],
+            "score_blob": enc_s[slo:shi],
+            "tf_blob": enc_t[tlo:thi],
+            "block_last": [int(dids[e - 1])],
+            "block_max": [int(gmax[gi])],
+            "block_n": [int(sizes[gi])],
+            "did_off": [0, dhi - dlo],
+            "score_off": [0, shi - slo],
+            "tf_off": [0, thi - tlo],
+        })
+    return rows
 
 
 def segment_to_row(seg: Segment) -> dict:

@@ -63,6 +63,34 @@ def extract_metadata(df: DataFrame, payload_col: str = "payload",
                " n_frames long")
 
 
+def byte_histogram_features(df: DataFrame, bins: int = 16,
+                            payload_col: str = "payload",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, features array<double>): normalized byte-value histogram —
+    the feature-extraction stage of a multimodal pipeline with the decoder
+    stubbed (a real pipeline histograms pixels/spectrogram cells instead of
+    raw bytes; swap the kernel, the Spark plumbing is identical). Fully
+    vectorized: one ``np.bincount`` over the concatenated batch."""
+    cols = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(payload_col).alias("payload"))
+    shift = 8 - (bins - 1).bit_length()
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["payload"]:
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                h = np.bincount(b >> shift, minlength=bins).astype(np.float64)
+                tot = h.sum()
+                rows.append((h / tot if tot else h).tolist())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "features": rows})
+
+    return cols.mapInPandas(
+        feats, schema="doc_id long, features array<double>")
+
+
 def frame_sample(df: DataFrame, every: int = 10,
                  payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,69 @@
+"""ANN quality: the LSH-bucketed scale path must recover PLANTED near
+neighbors. (On uniform-random embeddings — like the driver's synthetic
+table — top-k sets are arbitrary and no sublinear method can recover
+them, so recall is asserted on clustered data we construct.)"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from candidategeneration_spark import annops  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+def _clustered_emb(spark, n_clusters=20, per_cluster=10, dim=64, jitter=0.06):
+    rng = np.random.default_rng(42)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + jitter * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_topk_recall_on_planted_clusters(spark):
+    per = 10
+    emb = _clustered_emb(spark, per_cluster=per)
+    k = per - 1  # a probe's true neighbors = the rest of its cluster
+    probes = 10
+    brute = annops.brute_topk(emb, n_probes=probes, k=k).collect()
+    lsh = annops.lsh_topk(emb, n_probes=probes, k=k).collect()
+    exact, got = {}, {}
+    for r in brute:
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in lsh:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    # sanity: exact top-k of a cluster member is its cluster
+    for q in exact:
+        cluster = set(range(q // per * per, q // per * per + per)) - {q}
+        assert len(exact[q] & cluster) >= k - 2
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q])
+               for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # tight clusters land in one bucket with high probability; a broken
+    # hash or join would crater this to ~per/N ≈ 0.05
+    assert mean_recall >= 0.5, f"mean recall {mean_recall:.3f}"
+
+
+def test_brute_topk_matches_cosine_ranking(spark):
+    """Quantized int-dot ranking must broadly agree with float cosine on
+    clustered data (same-cluster members dominate both rankings)."""
+    emb = _clustered_emb(spark)
+    brute = annops.brute_topk(emb, n_probes=5, k=9).collect()
+    cos = annops.cosine_topk_pandas(emb, n_probes=5, k=9).collect()
+    b, c = {}, {}
+    for r in brute:
+        b.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in cos:
+        c.setdefault(r["qid"], set()).add(r["vec_id"])
+    overlaps = [len(b[q] & c.get(q, set())) / len(b[q]) for q in b]
+    mean_overlap = sum(overlaps) / len(overlaps)
+    assert mean_overlap >= 0.6, f"mean top-9 overlap {mean_overlap:.2f}"

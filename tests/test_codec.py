@@ -84,3 +84,16 @@ def test_random_block_access_matches_full_decode():
             assert seg.block_last[bi] >= probe
             if bi > 0:
                 assert seg.block_last[bi - 1] < probe
+
+
+def test_zigzag_roundtrip_negative_scores():
+    import numpy as np
+    from candidategeneration_spark.indexcodec import (
+        zigzag_decode, zigzag_encode, vbyte_encode, vbyte_decode)
+    v = np.array([0, -1, 1, -2, 2, -(10**12), 10**12, -7654321], np.int64)
+    assert (zigzag_decode(zigzag_encode(v)) == v).all()
+    # negative small scores must be cheap now: |v|<2^13 → ≤2 bytes
+    small = np.arange(-8000, 8000, dtype=np.int64)
+    enc = vbyte_encode(zigzag_encode(small))
+    assert len(enc) <= 2 * small.size
+    assert (zigzag_decode(vbyte_decode(enc)) == small).all()

@@ -1,0 +1,62 @@
+"""Physical-plan assertions for the headline pipelines (SURVEY.md §4):
+pushdown/pruning/broadcast/codegen must actually appear in the optimized
+plans, not just be assumed. These are the sandbox stand-ins for 100 TB plan
+reviews — a scan reading unpruned columns fails here instead of on a
+cluster bill."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from candidategeneration_spark import plans  # noqa: E402
+from candidategeneration_spark.build import build_postings  # noqa: E402
+from candidategeneration_spark.queryengine import wand_topk  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+def test_tokenize_scan_prunes_columns(spark):
+    """The postings pipeline must read ONLY (doc_id, text) from the corpus
+    parquet — tokenization cannot drag lang/source/n_chars into the scan."""
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    postings = build_postings(docs, text_col="text")
+    plans.assert_columns_pruned(postings, {"doc_id", "text"})
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    plans.assert_pushed_filter(q, "lang")
+    plans.assert_columns_pruned(q, {"doc_id", "lang"})
+
+
+def test_query_join_is_broadcast_not_shuffle(spark, docs_sf001):
+    """wand_topk joins segments × query terms: the tiny query side must
+    broadcast; the segment table must never move through a SortMergeJoin."""
+    from candidategeneration_spark.build import build_index
+    segments, _ = build_index(docs_sf001, dbigram_distance=None)
+    qdf = spark.createDataFrame([(0, ["fast", "key"])],
+                                "qid long, terms array<string>")
+    res = wand_topk(segments, qdf, k=5)
+    plans.assert_broadcast_join(res)
+    plans.assert_no_shuffle_join_of(res, "SortMergeJoin")
+
+
+def test_relational_agg_uses_codegen(spark):
+    """The relational surface must stay inside whole-stage codegen (JVM),
+    not fall back to interpreted row processing."""
+    from candidategeneration_spark.relops import pricing_summary
+    df = pricing_summary(spark, f"{TESTDATA}/sf0.001")
+    plans.assert_wholestage_codegen(df)
+    plans.assert_columns_pruned(df, {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate"})
+
+
+def test_dim_join_broadcasts(spark):
+    from candidategeneration_spark.relops import top_orders
+    df = top_orders(spark, f"{TESTDATA}/sf0.001")
+    plans.assert_broadcast_join(df)
