@@ -74,6 +74,10 @@ def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if not (b & 0x80).any():
+        # all single-byte values (< 128): the bytes ARE the values — the
+        # common case for d-gaps of dense lists and tf streams
+        return b.astype(np.uint64)
     ends = np.flatnonzero((b & 0x80) == 0)
     starts = np.empty(ends.shape[0], dtype=np.int64)
     starts[0] = 0
@@ -174,12 +178,20 @@ class Segment:
         return dids, scores, tfs
 
     def decode_all(self):
-        """Decode the full list → (doc_ids, scores, tfs)."""
-        parts = [self.decode_block(i) for i in range(self.n_blocks)]
-        if not parts:
+        """Decode the full list → (doc_ids, scores, tfs).
+
+        One vectorized decode per stream: block-head gaps re-anchor on the
+        previous block's LAST docID, so the cumulative sum over the entire
+        gap stream reconstructs every docID exactly — no per-block loop
+        (per-block NumPy call overhead dominates for short blocks; this is
+        the exhaustive kernel's hot path)."""
+        if self.n_blocks == 0:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        return tuple(np.concatenate(cols) for cols in zip(*parts))
+        dids = np.cumsum(vbyte_decode(self.did_blob).astype(np.int64))
+        scores = zigzag_decode(vbyte_decode(self.score_blob))
+        tfs = vbyte_decode(self.tf_blob).astype(np.int64)
+        return dids, scores, tfs
 
     def first_block_geq(self, did: int) -> int:
         """Index of the first block whose last docID is >= did (nextGEQ skip;
