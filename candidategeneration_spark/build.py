@@ -155,12 +155,19 @@ def _dbigram_frame(doc_ids, toks, unigram_tf: pd.DataFrame,
 
 def build_postings(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
-                   dbigram_distance: int | None = None) -> DataFrame:
+                   dbigram_distance: int | None = None,
+                   term_filter: DataFrame | None = None) -> DataFrame:
     """corpus → (term, doc_id, tf, doc_len, maxtf) via one Arrow pass.
 
     Map-side pre-aggregation: raw tokens never leave the Python worker —
     only per-(doc,term) tf rows hit the shuffle (the analogue of the
     reference's per-doc dedup-before-buffer, ``InvertedIndex.java:291``).
+
+    ``term_filter``: optional DataFrame with a ``term`` column — postings
+    are pruned to those terms by broadcast LEFT SEMI join, the Spark form
+    of the reference's query-trace filter-set probe during generation
+    (``InvertedIndex.java:291``/``374``; SURVEY §2.2 T6 / §2.3 J2). Default
+    None = index everything.
     """
     from .config import ensure_on_executors
     ensure_on_executors(docs.sparkSession)
@@ -171,7 +178,11 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             yield _explode_tf(pdf, "doc_id", "__text", dbigram_distance)
 
-    return cols.mapInPandas(gen, schema=POSTINGS_SCHEMA)
+    out = cols.mapInPandas(gen, schema=POSTINGS_SCHEMA)
+    if term_filter is not None:
+        out = out.join(F.broadcast(term_filter.select("term").distinct()),
+                       "term", "left_semi")
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -169,3 +169,15 @@ def test_salted_build_identical(spark, docs_sf001, built):
         assert bytes(a["score_blob"]) == bytes(b["score_blob"]), t
         assert a["block_max"] == b["block_max"]
         assert a["block_last"] == b["block_last"]
+
+
+def test_term_filter_semi_join(spark, docs_sf001):
+    """T6/J2: broadcast filter-set pruning — only listed terms survive."""
+    from candidategeneration_spark.build import build_postings
+    keep = spark.createDataFrame([("fast",), ("key",)], "term string")
+    filtered = build_postings(docs_sf001, term_filter=keep)
+    got = {r["term"] for r in filtered.select("term").distinct().collect()}
+    assert got <= {"fast", "key"} and got
+    full = build_postings(docs_sf001)
+    n_full = full.where(F.col("term").isin("fast", "key")).count()
+    assert filtered.count() == n_full
