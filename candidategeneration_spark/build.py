@@ -398,6 +398,27 @@ def build_segments(scored: DataFrame, salt_buckets: int = 0) -> DataFrame:
         _merge_runs, schema=SEGMENT_SCHEMA)
 
 
+def build_segments_skew_aware(scored: DataFrame, hot_df_threshold: int,
+                              salt_buckets: int = 16) -> DataFrame:
+    """Skew-split segment build: ONLY terms with df > threshold take the
+    two-stage salted route; the long tail takes the one-shuffle streaming
+    path. This is the practical 100 TB shape — salting everything doubles
+    the shuffle for millions of tiny lists to protect against a handful of
+    hot ones (``def``/``class``-grade d-bigrams), while salting nothing
+    lets one task own a whole hot list. The reference has no skew handling
+    at all (fixed 4 shards, InvertedIndex.java:74-84).
+
+    ``scored`` must carry the ``df`` column (score_postings provides it),
+    so hot-term detection is a filter, not an extra aggregation.
+    """
+    hot = scored.where(F.col("df") > hot_df_threshold)
+    cold = scored.where(F.col("df") <= hot_df_threshold)
+    out = build_segments(cold, salt_buckets=0)
+    if not hot.isEmpty():
+        out = out.unionByName(build_segments(hot, salt_buckets=salt_buckets))
+    return out
+
+
 def build_index(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 dbigram_distance: int | None = DBIGRAM_DISTANCE,

@@ -1,0 +1,118 @@
+"""spark-submit entrypoints (the north star's deployment mode).
+
+On a cluster:
+
+    python -m candidategeneration_spark.cli zip           # emit py-files zip
+    spark-submit --py-files cg.zip -m ... build \
+        --corpus s3://bucket/corpus --out s3://bucket/index \
+        --dbigram 5 --hot-df 1000000
+    spark-submit --py-files cg.zip ... query \
+        --index s3://bucket/index --queries queries.tsv --out results
+
+Locally the same commands run against parquet paths on `local[N]`
+(master from SPARK_GRAFT_CPUS / --master). The build writes the
+term-bucketed segment store (partition-pruned reads: a query touches at
+most |query terms| buckets) plus resumable phase checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .config import get_spark
+    return get_spark(master=args.master)
+
+
+def cmd_zip(args) -> int:
+    from .config import package_zip
+    print(package_zip(args.out))
+    return 0
+
+
+def cmd_build(args) -> int:
+    from pyspark.sql import functions as F
+    from .build import (build_index, build_postings, build_segments_skew_aware,
+                        global_stats_from_postings, score_postings)
+    from .sources.segmentstore import save_segments
+    spark = _spark(args)
+    docs = spark.read.parquet(args.corpus)
+    id_col = "doc_id" if "doc_id" in docs.columns else docs.columns[0]
+    text_col = "content" if "content" in docs.columns else "text"
+    if args.resume_root:
+        from .checkpoints import build_index_resumable
+        segments, stats, _cp = build_index_resumable(
+            docs, args.resume_root,
+            dbigram_distance=args.dbigram or None)
+        save_segments(segments.drop("bucket"), args.out,
+                      n_buckets=args.buckets)
+    elif args.hot_df:
+        postings = build_postings(docs, id_col, text_col,
+                                  args.dbigram or None).persist()
+        stats = global_stats_from_postings(postings, docs.count())
+        scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
+        segments = build_segments_skew_aware(scored, args.hot_df)
+        save_segments(segments, args.out, n_buckets=args.buckets)
+    else:
+        segments, stats = build_index(docs, id_col, text_col,
+                                      args.dbigram or None)
+        save_segments(segments, args.out, n_buckets=args.buckets)
+    print(json.dumps({"out": args.out, **stats}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from pyspark.sql import functions as F
+    from .queryengine import wand_topk
+    from .sources.segmentstore import load_segments
+    spark = _spark(args)
+    segments = load_segments(spark, args.index)
+    qdf = (spark.read.option("sep", "\t").csv(args.queries)
+           .select(F.col("_c0").cast("long").alias("qid"),
+                   F.split("_c1", " ").alias("terms")))
+    res = wand_topk(segments, qdf, k=args.k)
+    res.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="candidategeneration_spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    z = sub.add_parser("zip", help="write the --py-files zip")
+    z.add_argument("--out", default=None)
+    z.set_defaults(fn=cmd_zip)
+
+    b = sub.add_parser("build", help="build the segment store")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--dbigram", type=int, default=0,
+                   help="d-bigram window distance (0 = unigrams only)")
+    b.add_argument("--hot-df", type=int, default=0, dest="hot_df",
+                   help="df threshold above which terms take the salted "
+                        "skew path (0 = no skew split)")
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--resume-root", default=None, dest="resume_root",
+                   help="checkpoint dir for resumable phase builds")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="run a query file against an index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True,
+                   help="TSV: qid<TAB>space-separated terms")
+    q.add_argument("--out", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

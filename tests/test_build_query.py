@@ -181,3 +181,24 @@ def test_term_filter_semi_join(spark, docs_sf001):
     full = build_postings(docs_sf001)
     n_full = full.where(F.col("term").isin("fast", "key")).count()
     assert filtered.count() == n_full
+
+
+def test_skew_aware_build_identical(spark, docs_sf001):
+    """Skew-split (hot terms salted, tail streamed) must produce segments
+    byte-identical to the plain build."""
+    from candidategeneration_spark.build import (
+        build_postings, build_segments, build_segments_skew_aware,
+        global_stats, score_postings)
+    stats = global_stats(docs_sf001)
+    postings = build_postings(docs_sf001)
+    scored = score_postings(postings, stats["n_docs"], stats["avgdl"]).cache()
+    plain = {r["term"]: r for r in build_segments(scored).collect()}
+    skew = {r["term"]: r
+            for r in build_segments_skew_aware(
+                scored, hot_df_threshold=50, salt_buckets=4).collect()}
+    assert set(plain) == set(skew)
+    for t, a in plain.items():
+        b = skew[t]
+        assert bytes(a["did_blob"]) == bytes(b["did_blob"]), t
+        assert bytes(a["score_blob"]) == bytes(b["score_blob"]), t
+        assert list(a["block_max"]) == list(b["block_max"]), t
