@@ -34,7 +34,6 @@ def cmd_zip(args) -> int:
 
 
 def cmd_build(args) -> int:
-    from pyspark.sql import functions as F
     from .build import (build_index, build_postings, build_segments_skew_aware,
                         global_stats_from_postings, score_postings)
     from .sources.segmentstore import save_segments
