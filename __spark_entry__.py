@@ -31,8 +31,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": entries.q_term_stats,
         # postings + exact BM25 (M1/M2, A1/A2/A8)
         "postings_unigram": entries.q_postings_unigram,
-        # d-bigram windowed self-join + pair scoring (J1, T7, M2)
+        # d-bigram windowed self-join + doc-local pair scoring (J1, T7, M2)
         "postings_dbigram": entries.q_postings_dbigram,
+        # separate pair component streams (X2)
+        "pair_streams": entries.q_pair_streams,
         # full engine: segments + Block-Max WAND top-k (O6, X1-X10, J6)
         "bm25_topk": entries.q_bm25_topk,
         # compressed segment build invariants (C1/C2, O1-O5, S8)
@@ -80,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": entrysql.sql_term_stats(),
         "postings_unigram": entrysql.sql_postings_unigram(),
         "postings_dbigram": entrysql.sql_postings_dbigram(),
+        "pair_streams": entrysql.sql_pair_streams(),
         "bm25_topk": entrysql.sql_bm25_topk(),
         "segment_stats": entrysql.sql_segment_stats(),
         "bm25_topk_pairs": entrysql.sql_bm25_topk_pairs(),

@@ -19,6 +19,18 @@ Three implementations with identical results: NumPy (UDF kernels), Spark
 Column (JVM path), and scalar Python (test oracle). The DuckDB oracle SQL
 uses ``trunc()`` because DuckDB's CAST(double AS BIGINT) *rounds* while
 Spark's cast truncates.
+
+Determinism note (round-2 fix): the ONLY non-exact operation in the whole
+formula is ``ln``. IEEE add/sub/mul/div/trunc are bit-identical across
+NumPy, the JVM and DuckDB, but each engine ships its own ``log``:
+NumPy ≥1.22 uses SIMD polynomial kernels, the JVM an x86 intrinsic, DuckDB
+``std::log`` (glibc) — any pair can disagree by 1 ulp, which flips the
+×1e7 truncation when a score lands within ~1 ulp of an integer boundary
+(the round-1 ``bm25_topk`` hash mismatch). Fix: every idf in every path is
+computed by CPython ``math.log`` (a thin wrapper over the same glibc
+``log`` DuckDB calls) over the *distinct* df values — :func:`idf_map`.
+The JVM column path receives idf as a precomputed column (tiny per-term
+table) instead of calling ``F.log``.
 """
 
 from __future__ import annotations
@@ -26,6 +38,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -39,14 +52,47 @@ def avgdl_floor(total_tokens: int, n_docs: int) -> int:
     return total_tokens // n_docs
 
 
+def idf_scalar(df: int | float, n_docs: int) -> float:
+    """The one idf implementation every path shares (glibc ``log`` via
+    CPython ``math.log`` — see the determinism note above). The argument
+    expression mirrors the DuckDB oracle's ``({n} - {df} + 0.5)/({df}+0.5)``
+    left-to-right double arithmetic exactly."""
+    d = float(df)
+    return math.log((n_docs - d + 0.5) / (d + 0.5))
+
+
+def idf_np(df, n_docs: int) -> np.ndarray:
+    """Vectorized idf over an int/float array: math.log per *distinct* df
+    (distinct dfs ≪ rows; n·log n unique + k scalar logs beats the 1-ulp
+    lottery of ``np.log``'s SIMD kernels)."""
+    arr = np.asarray(df, dtype=np.float64)
+    u, inv = np.unique(arr, return_inverse=True)
+    vals = np.array([idf_scalar(d, n_docs) for d in u.tolist()],
+                    dtype=np.float64)
+    return vals[inv]
+
+
+def idf_col(df: Column, n_docs: int) -> Column:
+    """idf as a Spark Column via an Arrow-batched pandas UDF around
+    :func:`idf_np`. Apply it to the small per-TERM df table (vocabulary-
+    sized), never per posting — the per-posting score math stays in
+    whole-stage codegen; only this tiny projection leaves the JVM."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _idf(s: pd.Series) -> pd.Series:
+        return pd.Series(idf_np(s.to_numpy(np.float64), n_docs))
+
+    return _idf(df)
+
+
 def bm25_quantized_np(tf, maxtf, df, doc_len, n_docs: int, avgdl: int):
     """Vectorized quantized BM25 → int64 array."""
     tf = np.asarray(tf, dtype=np.float64)
     maxtf = np.asarray(maxtf, dtype=np.float64)
-    df = np.asarray(df, dtype=np.float64)
     doc_len = np.asarray(doc_len, dtype=np.float64)
     ntf = 0.5 + 0.5 * tf / maxtf
-    idf = np.log((n_docs - df + 0.5) / (df + 0.5))
+    idf = idf_np(df, n_docs)
     denom = ntf + K1 * (1.0 - B + B * doc_len / float(avgdl))
     score = idf * ntf * (K1 + 1.0) / denom
     return np.trunc(score * QUANT).astype(np.int64)
@@ -56,19 +102,28 @@ def bm25_quantized_scalar(tf: int, maxtf: int, df: int, doc_len: int,
                           n_docs: int, avgdl: int) -> int:
     """Pure-Python scalar version (oracle / golden tests)."""
     ntf = 0.5 + 0.5 * tf / maxtf
-    idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+    idf = idf_scalar(df, n_docs)
     denom = ntf + K1 * (1.0 - B + B * doc_len / float(avgdl))
-    return int(ntf * idf * (K1 + 1.0) / denom * QUANT)
+    # grouping matches the vector paths: ((idf*ntf)*(K1+1))/denom
+    return int(idf * ntf * (K1 + 1.0) / denom * QUANT)
 
 
 def bm25_quantized_col(tf: Column, maxtf: Column, df: Column,
-                       doc_len: Column, n_docs: int, avgdl: int) -> Column:
-    """Spark Column version (whole-stage-codegen path). Same arithmetic."""
+                       doc_len: Column, n_docs: int, avgdl: int,
+                       idf: Column | None = None) -> Column:
+    """Spark Column version (whole-stage-codegen path). Same arithmetic.
+
+    Pass ``idf`` precomputed via :func:`idf_col` on the per-term df table —
+    the JVM ``Math.log`` intrinsic is the one op allowed to diverge from
+    glibc by 1 ulp (see module note). The ``idf=None`` fallback keeps the
+    legacy F.log behavior for callers that don't need oracle bit-parity.
+    """
     ntf = F.lit(0.5) + F.lit(0.5) * tf.cast("double") / maxtf.cast("double")
-    idf = F.log(
-        (F.lit(float(n_docs)) - df.cast("double") + F.lit(0.5))
-        / (df.cast("double") + F.lit(0.5))
-    )
+    if idf is None:
+        idf = F.log(
+            (F.lit(float(n_docs)) - df.cast("double") + F.lit(0.5))
+            / (df.cast("double") + F.lit(0.5))
+        )
     denom = ntf + F.lit(K1) * (
         F.lit(1.0 - B) + F.lit(B) * doc_len.cast("double") / F.lit(float(avgdl))
     )

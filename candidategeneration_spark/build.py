@@ -35,7 +35,7 @@ from pyspark.sql.types import (
 )
 
 from . import indexcodec
-from .bm25 import avgdl_floor, bm25_quantized_col
+from .bm25 import avgdl_floor, bm25_quantized_col, idf_col
 from .tokenizer import DBIGRAM_DISTANCE, tokenize_pandas, tokens_col
 
 PAIR_SEP = "\x1f"  # string analogue of the reference's a<<32|b long packing
@@ -212,14 +212,23 @@ def score_postings(postings: DataFrame, n_docs: int, avgdl: int) -> DataFrame:
     For pair terms (containing PAIR_SEP) the score is the *sum of the two
     unigram scores in that doc* (``InvertedIndex.java:302-307``) — computed
     by joining each side's unigram score, all in quantized int64 space.
+
+    NOTE (round 2): the pair branch below shuffles the pair table twice and
+    is kept only for callers that already hold mixed postings; the build
+    pipeline scores pairs doc-locally via :func:`build_pair_postings`
+    (zero joins against the pair table) — use that for anything at scale.
     """
     uni = postings.where(~F.col("term").contains(PAIR_SEP))
-    term_df = uni.groupBy("term").agg(F.count("*").alias("df"))
+    # idf via glibc-log pandas UDF on the tiny per-term table (bm25.idf_col
+    # determinism note); the per-posting arithmetic below stays in codegen.
+    term_df = uni.groupBy("term").agg(F.count("*").alias("df")) \
+                 .withColumn("__idf", idf_col(F.col("df"), n_docs))
     scored_uni = (
         uni.join(term_df, "term")
            .withColumn("score_q", bm25_quantized_col(
                F.col("tf"), F.col("maxtf"), F.col("df"), F.col("doc_len"),
-               n_docs, avgdl))
+               n_docs, avgdl, idf=F.col("__idf")))
+           .drop("__idf")
     )
     pairs = postings.where(F.col("term").contains(PAIR_SEP))
     if pairs.isEmpty():
@@ -240,6 +249,111 @@ def score_postings(postings: DataFrame, n_docs: int, avgdl: int) -> DataFrame:
          .select("term", "doc_id", "tf", "doc_len", "maxtf", "df", "score_q")
     )
     return scored_uni.unionByName(scored_pairs)
+
+
+PAIR_SCORED_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("tf", LongType()),
+    StructField("s1", LongType()),
+    StructField("s2", LongType()),
+    StructField("score_q", LongType()),
+])
+
+
+def _pair_rows_scored(pdf: pd.DataFrame, distance: int) -> pd.DataFrame:
+    """One Arrow batch of (doc_id, __text, __terms sorted, __scores aligned)
+    → scored pair postings, all doc-local (no join touches the pair table).
+
+    ``__terms`` is sorted ascending (Spark ``sort_array``; pure-ASCII tokens
+    so JVM and NumPy string orders agree) — each pair side's unigram score
+    is a vectorized ``searchsorted`` lookup. s1 belongs to the smaller term
+    of the pair (the oracle's t1), s2 to the larger; the stored pair score
+    is s1+s2 (``InvertedIndex.java:302-307``).
+    """
+    toks = tokenize_pandas(pdf["__text"])
+    out: list[pd.DataFrame] = []
+    for did, ts, terms, scores in zip(
+            pdf["doc_id"].to_numpy(np.int64), toks,
+            pdf["__terms"], pdf["__scores"]):
+        n = len(ts)
+        if n < 2:
+            continue
+        arr = np.asarray(ts, dtype=object)
+        lefts, rights = [], []
+        for s in range(1, min(distance, n - 1) + 1):
+            lefts.append(arr[:-s])
+            rights.append(arr[s:])
+        a = np.concatenate(lefts)
+        b = np.concatenate(rights)
+        neq = a != b
+        a, b = a[neq], b[neq]
+        if a.shape[0] == 0:
+            continue
+        swap = a > b
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        packed = np.char.add(np.char.add(lo.astype(str), PAIR_SEP),
+                             hi.astype(str))
+        uniq, first = np.unique(packed, return_index=True)
+        tsorted = np.asarray(terms, dtype=object).astype(str)
+        svals = np.asarray(scores, dtype=np.int64)
+        s1 = svals[np.searchsorted(tsorted, lo[first].astype(str))]
+        s2 = svals[np.searchsorted(tsorted, hi[first].astype(str))]
+        out.append(pd.DataFrame({
+            "term": uniq, "doc_id": np.full(uniq.shape[0], did, np.int64),
+            "tf": np.ones(uniq.shape[0], np.int64),
+            "s1": s1, "s2": s2, "score_q": s1 + s2}))
+    if not out:
+        return pd.DataFrame({
+            "term": pd.Series([], dtype=object),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "tf": pd.Series([], dtype=np.int64),
+            "s1": pd.Series([], dtype=np.int64),
+            "s2": pd.Series([], dtype=np.int64),
+            "score_q": pd.Series([], dtype=np.int64)})
+    return pd.concat(out, ignore_index=True)
+
+
+def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        dbigram_distance: int = DBIGRAM_DISTANCE
+                        ) -> DataFrame:
+    """Scored d-bigram postings with DOC-LOCAL pair scoring.
+
+    Round-1 scored pairs by joining the pair table TWICE against the scored
+    unigram table on (term, doc_id) — two shuffle joins over the largest
+    intermediate of the whole build (pair postings ≈ 7× unigrams). The
+    reference computes pair scores from an in-memory per-doc score map
+    (``InvertedIndex.java:302-307``); this is the Spark shape of that idea:
+
+        scored_uni → groupBy(doc_id) collect (term, score) arrays   [1× uni]
+        docs ⋈ per-doc map on doc_id                                [1× corpus]
+        mapInPandas: re-tokenize + window pairs + searchsorted score
+
+    The giant pair table is *born scored* and never joins anything. The two
+    shuffles that remain move the unigram-sized map and the corpus — at
+    10^12 files that's ~8× less shuffle I/O than shuffling pair postings
+    twice. Output carries the SEPARATE component streams (s1, s2) — X2
+    parity with the reference's precomputed pair lists
+    (``BigramIndex.java:44-85``, ``algo_toplayer.cpp:477-564``).
+    """
+    from .config import ensure_on_executors
+    ensure_on_executors(docs.sparkSession)
+    per_doc = (scored_uni.groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("term", "score_q"))).alias("__u"))
+               .select("doc_id", F.col("__u.term").alias("__terms"),
+                       F.col("__u.score_q").alias("__scores")))
+    joined = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                         F.col(text_col).alias("__text")) \
+                 .join(per_doc, "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pair_rows_scored(pdf, dbigram_distance)
+
+    return joined.mapInPandas(gen, schema=PAIR_SCORED_SCHEMA)
 
 
 def global_stats_from_postings(postings: DataFrame, n_docs: int) -> dict:
@@ -427,22 +541,29 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
                 phase_times: dict | None = None) -> tuple[DataFrame, dict]:
     """End-to-end build → (segments DataFrame, stats dict).
 
-    ``persist=True`` materializes the tokenized postings once: the scoring
-    stage references them up to 5× (df agg, pair-side joins) and without a
-    persist Catalyst would re-run the Arrow tokenizer over the corpus for
-    each reference — at 100 TB that is 5 corpus scans instead of 1. On a
-    real cluster use ``StorageLevel.DISK_ONLY`` via checkpoints.py instead
-    when postings exceed cluster RAM.
+    Unigram postings are built ONCE (one Arrow tokenize pass) and scored
+    with a unigram-sized df join; pair postings are generated *already
+    scored* by the doc-local pass (:func:`build_pair_postings`) — the pair
+    table, the largest intermediate of the build, never joins anything.
+
+    ``persist=True`` materializes the unigram postings (referenced by the
+    stats aggregate + scoring join) and, on d-bigram builds, the scored
+    unigrams (referenced by the per-doc score map + the segment union) —
+    without it Catalyst re-runs the tokenizer per reference: extra corpus
+    scans at 100 TB. On a real cluster use ``StorageLevel.DISK_ONLY`` via
+    checkpoints.py instead when postings exceed cluster RAM.
 
     ``phase_times``: optional dict filled with wall seconds of the
     materialized sub-phases (benchmark instrumentation).
     """
     import time as _time
-    postings = build_postings(docs, id_col, text_col, dbigram_distance)
+    postings = build_postings(docs, id_col, text_col, None)
     if persist:
         postings = postings.persist()
     # n_docs via parquet metadata / cheap count — no tokenize; total tokens
-    # from the postings themselves → the corpus is tokenized exactly once.
+    # from the postings themselves → the corpus is tokenized exactly once
+    # for everything except the pair pass (which re-tokenizes rather than
+    # shuffle raw token arrays — CPU is cheaper than corpus-sized state).
     t0 = _time.time()
     stats = global_stats_from_postings(postings, docs.count())
     if phase_times is not None:
@@ -452,4 +573,12 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
         return build_segments_fast(postings, stats["n_docs"],
                                    stats["avgdl"]), stats
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
+    if dbigram_distance:
+        if persist:
+            scored = scored.persist()
+        pairs = build_pair_postings(docs, scored, id_col, text_col,
+                                    dbigram_distance)
+        seg_in = scored.select("term", "doc_id", "tf", "score_q") \
+            .unionByName(pairs.select("term", "doc_id", "tf", "score_q"))
+        return build_segments(seg_in, salt_buckets), stats
     return build_segments(scored, salt_buckets), stats

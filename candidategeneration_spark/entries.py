@@ -51,16 +51,35 @@ def q_postings_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("long").alias("df"), "score_q")
 
 
-def q_postings_dbigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-local pair scoring path (build.build_pair_postings) — the pair
+    table is born scored; no join ever touches it."""
+    from .build import build_pair_postings
     docs = load_docs(spark, sf_dir)
     stats = global_stats(docs)
-    postings = build_postings(docs, dbigram_distance=DBIGRAM_DISTANCE)
+    postings = build_postings(docs)
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
-    pairs = scored.where(F.col("term").contains(PAIR_SEP))
+    return build_pair_postings(docs, scored)
+
+
+def q_postings_dbigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _scored_pairs(spark, sf_dir)
     split = F.split(F.col("term"), PAIR_SEP)
     return pairs.select(
         split.getItem(0).alias("t1"), split.getItem(1).alias("t2"),
         F.col("doc_id").cast("long").alias("doc_id"), "score_q")
+
+
+def q_pair_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 parity (algo_toplayer.cpp:477-564, BigramIndex.java:44-85): pair
+    lists expose SEPARATE per-component score streams (did, s1, s2) — the
+    reference's query engine uses the components independently as
+    lookup-pruning seeds."""
+    pairs = _scored_pairs(spark, sf_dir)
+    split = F.split(F.col("term"), PAIR_SEP)
+    return pairs.select(
+        split.getItem(0).alias("t1"), split.getItem(1).alias("t2"),
+        F.col("doc_id").cast("long").alias("doc_id"), "s1", "s2")
 
 
 def _query_df(spark: SparkSession) -> DataFrame:

@@ -142,6 +142,17 @@ def sql_postings_dbigram() -> str:
         "JOIN scored s2 ON s2.doc_id = p.doc_id AND s2.term = p.t2")
 
 
+def sql_pair_streams() -> str:
+    """Oracle for the separate (did, s1, s2) pair component streams (X2)."""
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_PAIRS_CTE.strip()} "
+        "SELECT p.t1, p.t2, CAST(p.doc_id AS BIGINT) AS doc_id, "
+        "s1.score_q AS s1, s2.score_q AS s2 "
+        "FROM pairs p "
+        "JOIN scored s1 ON s1.doc_id = p.doc_id AND s1.term = p.t1 "
+        "JOIN scored s2 ON s2.doc_id = p.doc_id AND s2.term = p.t2")
+
+
 def sql_bm25_topk(k: int = TOPK) -> str:
     return (
         f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_query_values()}, "

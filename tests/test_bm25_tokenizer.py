@@ -6,6 +6,8 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from candidategeneration_spark import bm25
 from candidategeneration_spark.tokenizer import (
     dbigram_pairs, tokenize_pandas, tokenize_text, tokens_col,
@@ -48,19 +50,56 @@ def test_scalar_vs_duckdb_sql():
 
 
 def test_spark_column_matches_scalar(spark):
+    """Production column path: idf precomputed via idf_col (glibc log),
+    everything else JVM codegen — must equal the scalar oracle bit-for-bit."""
     rows = [(tf, tf + m, df, dl)
             for tf in (1, 3, 17) for m in (0, 5) for df in (1, 9, 400)
             for dl in (3, 128, 999)]
     n_docs, avgdl = 1000, 53
     sdf = spark.createDataFrame(rows, "tf long, maxtf long, df long, dl long")
-    got = sdf.select(
+    got = sdf.withColumn("idf", bm25.idf_col(sdf.df, n_docs)).select(
         "tf", "maxtf", "df", "dl",
         bm25.bm25_quantized_col(
-            sdf.tf, sdf.maxtf, sdf.df, sdf.dl, n_docs, avgdl).alias("s")
+            sdf.tf, sdf.maxtf, sdf.df, sdf.dl, n_docs, avgdl,
+            idf=F.col("idf")).alias("s")
     ).collect()
     for r in got:
         assert r["s"] == bm25.bm25_quantized_scalar(
             r["tf"], r["maxtf"], r["df"], r["dl"], n_docs, avgdl)
+
+
+def test_idf_bitwise_matches_duckdb_ln():
+    """The ONLY inexact op in the scorer is ln; our idf (CPython math.log →
+    glibc) must be BITWISE equal to DuckDB's ln over a wide df domain —
+    the round-1 bm25_topk hash flake was a 1-ulp log divergence."""
+    n_docs = 123_457
+    dfs = np.unique(np.concatenate([
+        np.arange(1, 2000, dtype=np.int64),
+        np.int64(1) << np.arange(1, 17),
+        np.array([n_docs // 2, n_docs - 1, n_docs], dtype=np.int64),
+    ]))
+    ours = bm25.idf_np(dfs, n_docs)
+    pdf = pd.DataFrame({"df": dfs})
+    got = duckdb.sql(
+        f"SELECT ln((CAST({n_docs} AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5)) AS idf FROM pdf ORDER BY df"
+    ).df()["idf"].to_numpy()
+    assert ours.tobytes() == got.tobytes()
+
+
+def test_np_vs_duckdb_full_expression():
+    rng = np.random.default_rng(7)
+    n_docs, avgdl = 200_000, 41
+    n = 5000
+    tf = rng.integers(1, 80, n)
+    maxtf = tf + rng.integers(0, 80, n)
+    df = rng.integers(1, n_docs, n)
+    dl = rng.integers(1, 4000, n)
+    ours = bm25.bm25_quantized_np(tf, maxtf, df, dl, n_docs, avgdl)
+    pdf = pd.DataFrame({"tf": tf, "maxtf": maxtf, "df": df, "dl": dl})
+    expr = bm25.bm25_sql("tf", "maxtf", "df", "dl", str(n_docs), str(avgdl))
+    got = duckdb.sql(f"SELECT {expr} AS s FROM pdf").df()["s"].to_numpy()
+    assert (ours == got).all()
 
 
 def test_tokenizer_paths_agree(spark):
