@@ -56,13 +56,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": entries.q_fingerprint,
         # multimodal plumbing (stubbed decode, real Spark plumbing)
         "mm_extract": entries.q_mm_extract,
-        "frame_sample": entries.q_frame_sample,      # rows-only check
-        "mm_features": entries.q_mm_features,        # rows-only (floats)
+        "frame_sample": entries.q_frame_sample,
+        "mm_features": entries.q_mm_features,
         # similarity search over embeddings
         "ann_brute_topk": entries.q_ann_brute_topk,
         "ann_lsh_buckets": entries.q_ann_lsh_buckets,
-        "ann_lsh_topk": entries.q_ann_lsh_topk,      # rows-only check
-        "ann_cosine_topk": entries.q_ann_cosine_topk,  # rows-only (float)
+        "ann_lsh_topk": entries.q_ann_lsh_topk,
+        "ann_cosine_topk": entries.q_ann_cosine_topk,  # rank-only (floats)
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
         "toplayer_topk": entries.q_toplayer_topk,
@@ -97,8 +97,12 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": entrysql.sql_token_counts(),
         "fingerprint": entrysql.sql_fingerprint(),
         "mm_extract": entrysql.sql_mm_extract(),
+        "mm_features": entrysql.sql_mm_features(),
+        "frame_sample": entrysql.sql_frame_sample(),
         "ann_brute_topk": entrysql.sql_ann_brute_topk(),
         "ann_lsh_buckets": entrysql.sql_ann_lsh_buckets(),
+        "ann_lsh_topk": entrysql.sql_ann_lsh_topk(),
+        "ann_cosine_topk": entrysql.sql_ann_cosine_topk(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),
         "hits_rank": entrysql.sql_hits_rank(),
@@ -106,6 +110,6 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": entrysql.sql_top_orders(),
         "window_topn": entrysql.sql_window_topn(),
         "sessionize": entrysql.sql_sessionize(),
-        # frame_sample / ann_lsh_topk / ann_cosine_topk: no oracle —
-        # binary output / float arithmetic → rows-only driver check
+        # every entry has an oracle; ann_cosine_topk is rank-only (the
+        # float cos value is fp-summation-order dependent by nature)
     }

@@ -108,22 +108,30 @@ class Checkpointer:
 
 
 def build_index_resumable(docs: DataFrame, root: str,
+                          id_col: str | None = None,
                           dbigram_distance: int | None = 5,
                           salt_buckets: int = 0,
                           n_store_buckets: int = 64):
-    """Checkpointed end-to-end build: postings → scored → segments.
+    """Checkpointed end-to-end build: postings → scored [→ pairs] → segments.
 
     Each phase is an idempotent Parquet output; re-running after a crash
     executes only missing phases. The segments phase writes the
-    term-bucketed store layout (segmentstore.py)."""
-    from .build import build_postings, build_segments, global_stats, \
-        score_postings
+    term-bucketed store layout (segmentstore.py). Pairs come from the
+    doc-local scoring pass (build.build_pair_postings — the pair table is
+    born scored and checkpoints WITHOUT ever being joined), so a crash
+    during the giant pair phase resumes from the scored unigrams.
+    ``id_col`` defaults to ``doc_id`` if present, else the first column —
+    same detection as the CLI build paths."""
+    from .build import build_pair_postings, build_postings, build_segments, \
+        global_stats, score_postings
     from .sources.segmentstore import bucket_of
     from pyspark.sql import functions as F
 
     spark = docs.sparkSession
     cp = Checkpointer(root, spark)
     text_col = _text_col(docs)
+    if id_col is None:
+        id_col = "doc_id" if "doc_id" in docs.columns else docs.columns[0]
     stats_df, _ = cp.phase(
         "stats",
         lambda: spark.createDataFrame(
@@ -134,18 +142,28 @@ def build_index_resumable(docs: DataFrame, root: str,
              "avgdl": srow["avgdl"]}
     postings, _ = cp.phase(
         "postings",
-        lambda: build_postings(docs, text_col=text_col,
-                               dbigram_distance=dbigram_distance),
-        params={"dbigram_distance": dbigram_distance})
+        lambda: build_postings(docs, id_col=id_col, text_col=text_col),
+        params={"id_col": id_col})
     scored, _ = cp.phase(
         "scored",
         lambda: score_postings(postings, stats["n_docs"], stats["avgdl"]),
         inputs=["postings", "stats"])
+    if dbigram_distance:
+        pairs, _ = cp.phase(
+            "pairs",
+            lambda: build_pair_postings(docs, scored, id_col, text_col,
+                                        dbigram_distance),
+            inputs=["scored"],
+            params={"dbigram_distance": dbigram_distance})
+        seg_in = scored.select("term", "doc_id", "tf", "score_q") \
+            .unionByName(pairs.select("term", "doc_id", "tf", "score_q"))
+    else:
+        seg_in = scored
     segments, _ = cp.phase(
         "segments",
-        lambda: build_segments(scored, salt_buckets=salt_buckets)
+        lambda: build_segments(seg_in, salt_buckets=salt_buckets)
         .withColumn("bucket", bucket_of(F.col("term"), n_store_buckets)),
-        inputs=["scored"],
+        inputs=["scored", "pairs"] if dbigram_distance else ["scored"],
         params={"salt_buckets": salt_buckets,
                 "n_store_buckets": n_store_buckets},
         partition_by="bucket")

@@ -44,7 +44,7 @@ def cmd_build(args) -> int:
     if args.resume_root:
         from .checkpoints import build_index_resumable
         segments, stats, _cp = build_index_resumable(
-            docs, args.resume_root,
+            docs, args.resume_root, id_col=id_col,
             dbigram_distance=args.dbigram or None)
         save_segments(segments.drop("bucket"), args.out,
                       n_buckets=args.buckets)
@@ -67,11 +67,15 @@ def cmd_query(args) -> int:
     from pyspark.sql import functions as F
     from .queryengine import wand_topk
     from .sources.segmentstore import load_segments
+    from .tokenizer import tokens_col
     spark = _spark(args)
     segments = load_segments(spark, args.index)
+    # apply the tokenizer contract to query text (lowercase, [a-z0-9.],
+    # min length) — raw uppercase/punctuated terms would silently miss
+    # the lowercased index
     qdf = (spark.read.option("sep", "\t").csv(args.queries)
            .select(F.col("_c0").cast("long").alias("qid"),
-                   F.split("_c1", " ").alias("terms")))
+                   tokens_col(F.col("_c1")).alias("terms")))
     res = wand_topk(segments, qdf, k=args.k)
     res.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
@@ -104,7 +108,8 @@ def main(argv=None) -> int:
     q = sub.add_parser("query", help="run a query file against an index")
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True,
-                   help="TSV: qid<TAB>space-separated terms")
+                   help="TSV: qid<TAB>query text (tokenized with the "
+                        "index's contract: lowercase, [a-z0-9.], len>=2)")
     q.add_argument("--out", required=True)
     q.add_argument("--k", type=int, default=10)
     q.set_defaults(fn=cmd_query)

@@ -64,7 +64,17 @@ def get_spark(master: str | None = None, shuffle_partitions: int | None = None,
     # measured the stats stage REGRESSING 17s→29s from 4 to 16 cores under
     # the default). Only effective before the gateway JVM starts — i.e. the
     # first session of the process — which is exactly the bench/CLI shape.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # Default = half of physical RAM capped at 24g (a fixed 24g could
+    # exceed a small container's cgroup limit and get the JVM OOM-killed
+    # instead of spilling); SPARK_GRAFT_DRIVER_MEM overrides.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem is None:
+        try:
+            total_g = (os.sysconf("SC_PAGE_SIZE")
+                       * os.sysconf("SC_PHYS_PAGES")) >> 30
+        except (ValueError, OSError):
+            total_g = 8
+        driver_mem = f"{max(1, min(24, total_g // 2))}g"
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

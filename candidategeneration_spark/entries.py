@@ -177,15 +177,25 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Rank-only projection of the float cosine path: the cos value itself
+    is fp-summation-order dependent (NumPy matmul vs sequential SQL sum)
+    and can never be bit-stable cross-engine, but the RANKING is — adjacent
+    cosines of random 64-d vectors differ by ~1e-3 while engines agree to
+    ~1e-15, and exact ties (duplicate vectors) break on vec_id in both."""
     from . import annops
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return annops.cosine_topk_pandas(emb)
+    res = annops.cosine_topk_pandas(emb)
+    return res.select("qid", F.col("rank").cast("long").alias("rank"),
+                      "vec_id")
 
 
 def q_frame_sample(spark, sf_dir):
+    """Integer projection (len + byte checksum) of the binary frame
+    sampler so the gate is oracle-checkable; the binary-output operator
+    itself is exercised underneath (frame_sample_stats wraps it)."""
     from . import mmops
     docs = mmops.with_fake_payload(load_docs(spark, sf_dir))
-    return mmops.frame_sample(docs)
+    return mmops.frame_sample_stats(docs)
 
 
 def q_mm_features(spark, sf_dir):

@@ -344,6 +344,48 @@ def sql_mm_extract() -> str:
         " FROM documents")
 
 
+def sql_mm_features(bins: int = 16) -> str:
+    """Byte-histogram oracle. The payload is UTF-8 text and the corpus is
+    pure ASCII (verified), so byte == ord(char); 16 bins -> byte // 16."""
+    return (
+        "WITH chars AS ("
+        "  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS b"
+        "  FROM (SELECT doc_id, text, unnest(range(1, strlen(text)+1)) AS i"
+        "        FROM documents)) "
+        f"SELECT doc_id, CAST(least(b // {256 // bins}, {bins - 1})"
+        " AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM chars GROUP BY 1, 2")
+
+
+def sql_frame_sample(every: int = 10) -> str:
+    """Oracle for frame_sample_stats: mirrors the fake sampler exactly —
+    n_frames = n%30+1, step = max(1, n // n_frames), frames at
+    idx ∈ {0, every, 2·every, ...} < n_frames, frame = text[idx·step :
+    (idx+1)·step]; stats = (len, byte checksum) of each frame."""
+    idxs = ", ".join(str(i) for i in range(0, 30, every))
+    return (
+        "WITH m AS ("
+        "  SELECT doc_id, text, strlen(text) AS n,"
+        "         strlen(text) % 30 + 1 AS nf,"
+        "         greatest(1, strlen(text) // (strlen(text) % 30 + 1)) AS step"
+        "  FROM documents), "
+        "f AS ("
+        f"  SELECT doc_id, unnest([{idxs}]) AS frame_idx, text, nf, step"
+        "  FROM m), "
+        "fr AS ("
+        "  SELECT doc_id, frame_idx,"
+        "         substr(text, CAST(frame_idx*step + 1 AS INT),"
+        "                CAST(step AS INT)) AS frame"
+        "  FROM f WHERE frame_idx < nf) "
+        "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,"
+        " CAST(strlen(frame) AS BIGINT) AS n_bytes,"
+        " CAST(COALESCE(list_sum(list_transform("
+        "   range(1, strlen(frame)+1),"
+        "   i -> ord(substr(frame, CAST(i AS INT), 1)))), 0) AS BIGINT)"
+        " AS byte_sum"
+        " FROM fr")
+
+
 # ---------------------------------------------------------------------------
 # ANN oracles (annops.py twins)
 # ---------------------------------------------------------------------------
@@ -378,6 +420,52 @@ def sql_ann_lsh_buckets(n_planes: int = 8) -> str:
         "SELECT vec_id, CAST(sum(CASE WHEN dot >= 0"
         " THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE 0 END) AS BIGINT)"
         " AS bucket FROM dots GROUP BY vec_id")
+
+
+def sql_ann_lsh_topk(n_probes: int = 10, k: int = 10,
+                     n_planes: int = 8) -> str:
+    """Oracle for the LSH-bucketed approximate top-k: buckets + integer
+    dot products composed in one query (both pieces already oracle-green
+    separately)."""
+    return (
+        f"WITH {_QVEC_CTE}, "
+        "comp AS (SELECT vec_id, unnest(v) AS q,"
+        " generate_subscripts(v, 1) AS i FROM qv), "
+        f"planes AS (SELECT range AS plane FROM range({n_planes})), "
+        "dots AS (SELECT vec_id, plane,"
+        " sum(q * (((i-1)*7 + plane*13) % 11 - 5)) AS dot"
+        " FROM comp CROSS JOIN planes GROUP BY vec_id, plane), "
+        "buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0"
+        " THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE 0 END) AS BIGINT)"
+        " AS bucket FROM dots GROUP BY vec_id), "
+        "qb AS (SELECT qv.vec_id, qv.v, b.bucket"
+        " FROM qv JOIN buckets b USING (vec_id)), "
+        f"pr AS (SELECT vec_id AS qid, v AS pv, bucket FROM qb"
+        f" WHERE vec_id < {n_probes}), "
+        "scored AS (SELECT pr.qid, qb.vec_id,"
+        " CAST((SELECT sum(u.a*u.b) FROM (SELECT unnest(qb.v) AS a,"
+        " unnest(pr.pv) AS b) u) AS BIGINT) AS score_q"
+        " FROM qb JOIN pr ON qb.bucket = pr.bucket"
+        " WHERE qb.vec_id <> pr.qid) "
+        "SELECT qid, CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, vec_id) - 1 AS BIGINT) AS rank,"
+        " vec_id, score_q FROM scored"
+        f" QUALIFY rank < {k}")
+
+
+def sql_ann_cosine_topk(n_probes: int = 10, k: int = 10) -> str:
+    """Rank-only oracle for the float cosine path (see q_ann_cosine_topk:
+    the cos VALUE is fp-order dependent, the ranking is stable)."""
+    return (
+        f"WITH pr AS (SELECT vec_id AS qid, embedding AS pv"
+        f" FROM embeddings WHERE vec_id < {n_probes}), "
+        "scored AS (SELECT pr.qid, e.vec_id,"
+        " list_cosine_similarity(e.embedding, pr.pv) AS cos"
+        " FROM embeddings e CROSS JOIN pr WHERE e.vec_id <> pr.qid) "
+        "SELECT qid, CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY cos DESC, vec_id) - 1 AS BIGINT) AS rank, vec_id"
+        " FROM scored"
+        f" QUALIFY rank < {k}")
 
 
 # ---------------------------------------------------------------------------

@@ -66,29 +66,45 @@ def extract_metadata(df: DataFrame, payload_col: str = "payload",
 def byte_histogram_features(df: DataFrame, bins: int = 16,
                             payload_col: str = "payload",
                             id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, features array<double>): normalized byte-value histogram —
-    the feature-extraction stage of a multimodal pipeline with the decoder
-    stubbed (a real pipeline histograms pixels/spectrogram cells instead of
-    raw bytes; swap the kernel, the Spark plumbing is identical). Fully
-    vectorized: one ``np.bincount`` over the concatenated batch."""
+    """(doc_id, bin, cnt) integer byte-value histogram rows (nonzero bins
+    only) — the feature-extraction stage of a multimodal pipeline with the
+    decoder stubbed (a real pipeline histograms pixels/spectrogram cells
+    instead of raw bytes; swap the kernel, the Spark plumbing is identical).
+
+    Round-2 shape change: the former ``array<double>`` normalized output
+    was uncheckable (driver canonicalizer can't hash array columns, and
+    float ratios aren't cross-engine stable); exploded int64 rows are both
+    — normalize downstream with ``cnt / sum(cnt) over (partition by
+    doc_id)`` if ratios are needed. Fully vectorized: ONE ``np.bincount``
+    over the concatenated batch keyed by doc×bin. Bin indices are clipped
+    to bins-1 so non-power-of-two ``bins`` can't overflow the bin range."""
     cols = df.select(F.col(id_col).alias("doc_id"),
                      F.col(payload_col).alias("payload"))
     shift = 8 - (bins - 1).bit_length()
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for blob in pdf["payload"]:
-                b = np.frombuffer(bytes(blob), dtype=np.uint8)
-                h = np.bincount(b >> shift, minlength=bins).astype(np.float64)
-                tot = h.sum()
-                rows.append((h / tot if tot else h).tolist())
+            n = len(pdf)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            blobs = [bytes(b) for b in pdf["payload"]]
+            lens = np.array([len(b) for b in blobs], dtype=np.int64)
+            if lens.sum() == 0:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                    "bin": pd.Series([], dtype=np.int64),
+                                    "cnt": pd.Series([], dtype=np.int64)})
+                continue
+            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            binv = np.minimum(flat >> shift, bins - 1).astype(np.int64)
+            keys = doc_idx * bins + binv
+            counts = np.bincount(keys, minlength=n * bins)
+            nz = np.flatnonzero(counts)
             yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                "features": rows})
+                "doc_id": ids[nz // bins],
+                "bin": (nz % bins).astype(np.int64),
+                "cnt": counts[nz].astype(np.int64)})
 
-    return cols.mapInPandas(
-        feats, schema="doc_id long, features array<double>")
+    return cols.mapInPandas(feats, schema="doc_id long, bin long, cnt long")
 
 
 def frame_sample(df: DataFrame, every: int = 10,
@@ -119,3 +135,32 @@ def frame_sample(df: DataFrame, every: int = 10,
 
     return cols.mapInPandas(
         sample, schema="doc_id long, frame_idx long, frame_bytes binary")
+
+
+def frame_sample_stats(df: DataFrame, every: int = 10,
+                       payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, frame_idx, n_bytes, byte_sum): integer projection of
+    :func:`frame_sample` output for oracle checking — binary frame content
+    reduced to length + byte checksum (both deterministic ints), computed
+    in one vectorized pass over the sampled frames."""
+    frames = frame_sample(df, every=every, payload_col=payload_col,
+                          id_col=id_col)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [bytes(b) for b in pdf["frame_bytes"]]
+            lens = np.array([len(b) for b in blobs], dtype=np.int64)
+            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            sums = np.zeros(len(blobs), dtype=np.int64)
+            if flat.shape[0]:
+                idx = np.repeat(np.arange(len(blobs), dtype=np.int64), lens)
+                np.add.at(sums, idx, flat.astype(np.int64))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "frame_idx": pdf["frame_idx"].to_numpy(np.int64),
+                "n_bytes": lens, "byte_sum": sums})
+
+    return frames.mapInPandas(
+        stats,
+        schema="doc_id long, frame_idx long, n_bytes long, byte_sum long")

@@ -42,11 +42,53 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
                 .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
 
 
-def term_dictionary(doc_tf: DataFrame) -> DataFrame:
-    """(term, tid) dense 1-based ids, deterministic (ordered by term)."""
-    return (doc_tf.select("term").distinct()
-            .withColumn("tid", F.row_number().over(Window.orderBy("term"))
-                        .cast("long")))
+def term_dictionary(doc_tf: DataFrame,
+                    num_partitions: int | None = None) -> DataFrame:
+    """(term, tid) dense 1-based ids, deterministic (ordered by term).
+
+    DISTRIBUTED id assignment (round-2 fix): round 1 used
+    ``row_number().over(Window.orderBy("term"))`` — a global window with no
+    partition key, i.e. one task sorts the entire vocabulary (billions of
+    unique identifiers at 10^12-file scale). Now: ``repartitionByRange``
+    on term + per-partition sort + a two-job zipWithIndex — job 1 counts
+    rows per range partition (tiny: one long per partition), the driver
+    prefix-sums the offsets, job 2 tags each row with offset + local rank
+    via ``mapInPandas``. Range partitions are ordered by term, so the
+    result is exactly the global dense rank by term — byte-identical to
+    the window version and to the DuckDB oracle — while every partition
+    sorts only its own slice. The repartitioned frame is persisted so both
+    jobs see the same sampled range boundaries.
+    """
+    import numpy as np
+
+    spark = doc_tf.sparkSession
+    terms = doc_tf.select("term").distinct()
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    part = terms.repartitionByRange(num_partitions, "term") \
+                .sortWithinPartitions("term").persist()
+    counts = {int(r["pid"]): int(r["n"]) for r in
+              part.groupBy(F.spark_partition_id().alias("pid"))
+                  .agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def tag(batches):
+        from pyspark import TaskContext
+        base = bc.value.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf.copy()
+            out["tid"] = np.arange(base + seen + 1, base + seen + n + 1,
+                                   dtype=np.int64)
+            seen += n
+            yield out
+
+    return part.mapInPandas(tag, schema="term string, tid long")
 
 
 def with_tids(doc_tf: DataFrame) -> DataFrame:
@@ -109,13 +151,26 @@ def lsh_bands(docs: DataFrame) -> DataFrame:
                .agg(F.sum(F.col("minhash") * F.col("w")).alias("band_key")))
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """(doc_a, doc_b) distinct pairs sharing at least one LSH band bucket.
 
     The band self-join is the scale path: equi-join on (band, band_key)
-    hash-partitions perfectly; hot buckets (boilerplate docs) are the skew
-    case — cap or salt them in production."""
+    hash-partitions perfectly. ``max_bucket_size`` is the hot-bucket guard
+    (round-2): a bucket with n docs emits n² candidate pairs, so one
+    boilerplate bucket (empty files, license headers) can dominate the
+    whole join at corpus scale. Buckets larger than the cap are DROPPED —
+    the standard LSH posture: members of a giant bucket are near-dups of a
+    huge cluster that exact dedup already collapses more cheaply, and each
+    doc still meets its neighbors through its other (MH_NPERM/MH_BAND_ROWS
+    - 1) bands. Default None = no cap (oracle-parity mode)."""
     b = lsh_bands(docs)
+    if max_bucket_size is not None:
+        ok = (b.groupBy("band", "band_key")
+               .agg(F.count("*").alias("__n"))
+               .where(F.col("__n") <= max_bucket_size)
+               .select("band", "band_key"))
+        b = b.join(ok, ["band", "band_key"])
     b2 = b.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (b.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
              .join(b2, ["band", "band_key"])
@@ -164,15 +219,25 @@ def _doc_ngrams(docs: DataFrame) -> DataFrame:
     return grams.where(F.col("gram").isNotNull()).distinct()
 
 
-def ngram_jaccard_pairs(docs: DataFrame, min_jacc_q: int = 100_000) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, min_jacc_q: int = 100_000,
+                        gram_df_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, inter, uni, jacc_q): exact word-3-gram Jaccard over
     pairs sharing >=1 gram; jacc_q = trunc(1e6 * inter / union).
 
     Scale path: the gram equi-join is the candidate generator (docs sharing
-    no gram never meet); at 100 TB you'd first drop ultra-common grams
-    (df cap) to bound the join fan-out."""
+    no gram never meet). ``gram_df_cap`` (round-2) drops grams appearing in
+    more than cap docs BEFORE the self-join — an ultra-common gram (license
+    boilerplate, ``def __init__ self``) contributes df² join rows while
+    carrying no discriminative signal. Capping makes inter/jacc a LOWER
+    bound (doc gram-set sizes still count every gram, so union is exact) —
+    the conservative direction for a dedup filter. Default None = exact
+    (oracle-parity mode)."""
     g = _doc_ngrams(docs)
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if gram_df_cap is not None:
+        keep = (g.groupBy("gram").agg(F.count("*").alias("__gdf"))
+                 .where(F.col("__gdf") <= gram_df_cap).select("gram"))
+        g = g.join(keep, "gram")
     ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
     inter = (ga.join(gb, "gram").where(F.col("doc_a") < F.col("doc_b"))

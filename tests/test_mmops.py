@@ -15,13 +15,35 @@ def test_byte_histogram_features_oracle(spark, docs_sf001):
     docs = mmops.with_fake_payload(sample)
     rows = mmops.byte_histogram_features(docs).collect()
     texts = {r["doc_id"]: r["text"] for r in sample.collect()}
-    assert len(rows) == len(texts)
+    got = {}
     for r in rows:
-        b = np.frombuffer(texts[r["doc_id"]].encode(), np.uint8)
-        h = np.bincount(b >> 4, minlength=16).astype(np.float64)
-        h = h / h.sum() if h.sum() else h
-        assert np.allclose(np.array(r["features"]), h)
-        assert abs(sum(r["features"]) - 1.0) < 1e-9
+        got.setdefault(r["doc_id"], {})[r["bin"]] = r["cnt"]
+    assert set(got) == {d for d, t in texts.items() if t}
+    for did, text in texts.items():
+        b = np.frombuffer(text.encode(), np.uint8)
+        h = np.bincount(b >> 4, minlength=16)
+        expect = {i: int(c) for i, c in enumerate(h) if c}
+        assert got.get(did, {}) == expect
+
+
+def test_byte_histogram_non_power_of_two_bins_clipped(spark, docs_sf001):
+    """bins=10: shift maps bytes to 16 raw buckets; indices must clip to
+    bins-1, never emit bin >= bins (ADVICE round 1)."""
+    docs = mmops.with_fake_payload(docs_sf001.limit(10))
+    rows = mmops.byte_histogram_features(docs, bins=10).collect()
+    assert rows and all(0 <= r["bin"] < 10 for r in rows)
+
+
+def test_frame_sample_stats_match_frames(spark, docs_sf001):
+    docs = mmops.with_fake_payload(docs_sf001.limit(10))
+    frames = {(r["doc_id"], r["frame_idx"]): bytes(r["frame_bytes"])
+              for r in mmops.frame_sample(docs).collect()}
+    stats = mmops.frame_sample_stats(docs).collect()
+    assert {(r["doc_id"], r["frame_idx"]) for r in stats} == set(frames)
+    for r in stats:
+        blob = frames[(r["doc_id"], r["frame_idx"])]
+        assert r["n_bytes"] == len(blob)
+        assert r["byte_sum"] == sum(blob)
 
 
 def test_frame_sample_shape(spark, docs_sf001):

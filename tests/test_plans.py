@@ -45,6 +45,22 @@ def test_query_join_is_broadcast_not_shuffle(spark, docs_sf001):
     plans.assert_no_shuffle_join_of(res, "SortMergeJoin")
 
 
+def test_term_dictionary_no_global_window(spark, docs_sf001):
+    """Dictionary id assignment must not contain a partition-less Window
+    (single-task sort of the whole vocabulary) nor a 1-partition exchange;
+    ids must still equal the global dense rank by term."""
+    from candidategeneration_spark import textops
+    dt = textops.doc_tokens(docs_sf001)
+    d = textops.term_dictionary(dt)
+    plan = plans.explain_str(d, "simple")
+    assert "Window" not in plan, f"global window in dictionary plan:\n{plan}"
+    assert "SinglePartition" not in plan, \
+        f"single-partition exchange in dictionary plan:\n{plan}"
+    got = {r["term"]: r["tid"] for r in d.collect()}
+    terms = sorted(got)
+    assert [got[t] for t in terms] == list(range(1, len(terms) + 1))
+
+
 def test_relational_agg_uses_codegen(spark):
     """The relational surface must stay inside whole-stage codegen (JVM),
     not fall back to interpreted row processing."""

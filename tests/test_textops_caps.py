@@ -1,0 +1,63 @@
+"""Hot-group guards for the similarity joins (round-2): gram df-cap and
+LSH bucket cap bound the quadratic fan-out on boilerplate-heavy corpora
+without changing default (oracle-parity) results."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from candidategeneration_spark import textops  # noqa: E402
+
+BOILER = "license header apache version http www example com rights reserved"
+
+
+def _corpus(spark):
+    rows = []
+    # 12 docs sharing identical boilerplate + a unique tail
+    for i in range(12):
+        rows.append((i, f"{BOILER} unique{i} token{i} filler{i}"))
+    # 2 genuinely similar docs with no boilerplate
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_gram_df_cap(spark):
+    docs = _corpus(spark)
+    full = textops.ngram_jaccard_pairs(docs, min_jacc_q=1)
+    capped = textops.ngram_jaccard_pairs(docs, min_jacc_q=1, gram_df_cap=5)
+    f = {(r["doc_a"], r["doc_b"]): (r["inter"], r["jacc_q"])
+         for r in full.collect()}
+    c = {(r["doc_a"], r["doc_b"]): (r["inter"], r["jacc_q"])
+         for r in capped.collect()}
+    # capped results are a subset with inter/jacc lower bounds
+    assert set(c) <= set(f)
+    for k, (inter, jacc) in c.items():
+        assert inter <= f[k][0] and jacc <= f[k][1]
+    # the boilerplate clique's shared grams are capped out -> those pairs
+    # lose their (identical-prefix) intersections
+    assert (0, 1) in f and (0, 1) not in c
+    # the genuinely-similar low-df pair survives with EXACT values
+    assert c[(100, 101)] == f[(100, 101)]
+
+
+def test_lsh_bucket_cap(spark):
+    # identical docs -> identical signatures -> every band bucket holds the
+    # whole 12-doc clique (> cap) and gets dropped; the distinct near-dup
+    # pair lives in small buckets and survives
+    rows = [(i, BOILER) for i in range(12)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["doc_a"], r["doc_b"])
+            for r in textops.lsh_candidate_pairs(docs).collect()}
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in textops.lsh_candidate_pairs(
+                  docs, max_bucket_size=5).collect()}
+    assert capped <= full
+    # boilerplate clique floods its buckets (12 docs > cap) -> dropped
+    assert (0, 1) in full
+    assert all(a >= 100 for a, b in capped), capped
+    # the small-bucket near-dup pair survives
+    assert (100, 101) in full and (100, 101) in capped
