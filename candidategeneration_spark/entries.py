@@ -272,22 +272,25 @@ def q_quality_matrix(spark, sf_dir):
     return quality.quality_matrix_df(scored, golden_terms)
 
 
-TOPLAYER_PREFIX = 64
+QUALITY_BUDGET = 4000
 
 
 def q_toplayer_topk(spark, sf_dir):
-    """Budgeted top-layer candidate generation (Q6-Q8/X1): keep each list's
-    first TOPLAYER_PREFIX impact-ordered postings (the selected 'top layer'),
-    score queries over prefixes only — the reference's approximate
-    flash-fetch path, deterministic here (fixed budget → SQL-expressible)."""
-    from pyspark.sql import Window
-    from .quality import toplayer_topk
-    scored = _scored_unigrams(spark, sf_dir)
-    w = Window.partitionBy("term").orderBy(
-        F.desc("score_q"), F.asc("doc_id"))
-    top = (scored.withColumn("pos", F.row_number().over(w) - 1)
-           .where(F.col("pos") < TOPLAYER_PREFIX)
-           .select("term", "doc_id", "score_q"))
-    res = toplayer_topk(top, _query_df(spark), k=TOPK)
+    """Quality-model-DRIVEN budgeted top-layer candidate generation
+    (Q4→Q6→Q7→X1, the reference's full predictive-selection pipeline):
+    train the quality matrix on the query set's ground truth, run the
+    cell-greedy budget selection over it, extract the selected per-list
+    prefixes (top layers), answer queries over prefixes only. Round 1 used
+    a hard-coded 64-posting prefix; the budgets now come from the trained
+    model (NewGreedySelection.java:26-89 → SelectChuncks.java:16-62)."""
+    from . import quality
+    scored = _scored_unigrams(spark, sf_dir).cache()
+    queries = _query_df(spark)
+    golden = quality.golden_topk(scored, queries, k=TOPK)
+    qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
+    golden_terms = golden.join(qterms, "qid").select("term", "doc_id")
+    keep = quality.cell_greedy_prefixes(scored, golden_terms, QUALITY_BUDGET)
+    top = quality.extract_top_layers_df(scored, keep)
+    res = quality.toplayer_topk(top, queries, k=TOPK)
     return res.select("qid", F.col("rank").cast("long").alias("rank"),
                       "doc_id", "score_q")

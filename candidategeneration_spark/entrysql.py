@@ -640,16 +640,71 @@ def sql_quality_matrix() -> str:
         " FROM acc LEFT JOIN hits ON acc.lb = hits.lb AND acc.rb = hits.rb")
 
 
-def sql_toplayer_topk(prefix: int = 64, k: int = TOPK) -> str:
-    """Oracle for the budgeted top-layer path (fixed prefix budget)."""
+def sql_toplayer_topk(budget: int = 4000, k: int = TOPK) -> str:
+    """Oracle for the quality-model-driven budgeted top-layer path: trains
+    the quality matrix, replays the cell-greedy selection (density-ranked
+    cells under a posting budget, per-term chunks-in-order), extracts the
+    selected prefixes and answers the query set over them — the full
+    Q4→Q6→Q7→X1 pipeline in one SQL statement, matching
+    quality.cell_greedy_prefixes + extract_top_layers_df exactly (the only
+    float op is the density int/int division, IEEE-exact both sides)."""
+    from .quality import LEN_BASE, LEN_START, RANK_BASE, RANK_START, \
+        geometric_ranges
+    lenr = _ranges_values("lb", geometric_ranges(LEN_BASE, LEN_START))
+    rankr = _ranges_values("rb", geometric_ranges(RANK_BASE, RANK_START))
     return (
         f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_query_values()}, "
+        f"{_GOLDEN_CTE.strip()}, {lenr}, {rankr}, "
+        "gterms AS ("
+        "  SELECT DISTINCT q.term, g.doc_id"
+        "  FROM golden g JOIN queries q USING (qid)), "
+        "p AS ("
+        "  SELECT term, doc_id, score_q, df AS list_len,"
+        "         row_number() OVER (PARTITION BY term"
+        "           ORDER BY score_q DESC, doc_id) - 1 AS pos"
+        "  FROM scored), "
+        "pb AS ("
+        "  SELECT p.term, p.doc_id, lbr.lb, rbr.rb"
+        "  FROM p"
+        "  JOIN lbr ON p.list_len >= lbr.lb_lo AND p.list_len < lbr.lb_hi"
+        "  JOIN rbr ON p.pos >= rbr.rb_lo AND p.pos < rbr.rb_hi), "
+        "acc AS (SELECT lb, rb, count(*) AS accesses FROM pb GROUP BY lb, rb), "
+        "hitsc AS ("
+        "  SELECT pb.lb, pb.rb, count(*) AS hits"
+        "  FROM pb JOIN gterms g ON g.term = pb.term AND g.doc_id = pb.doc_id"
+        "  GROUP BY pb.lb, pb.rb), "
+        "dens AS ("
+        "  SELECT acc.lb, acc.rb, acc.accesses,"
+        "         CAST(COALESCE(hitsc.hits, 0) AS DOUBLE)"
+        "           / CAST(acc.accesses AS DOUBLE) AS density"
+        "  FROM acc LEFT JOIN hitsc ON acc.lb = hitsc.lb AND acc.rb = hitsc.rb), "
+        "cum AS ("
+        "  SELECT lb, rb, sum(accesses) OVER (ORDER BY density DESC, lb, rb"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+        "  FROM dens), "
+        f"sel AS (SELECT lb, rb FROM cum WHERE cum <= {budget}), "
+        "tdf AS (SELECT term, count(*) AS df FROM scored GROUP BY term), "
+        "tl AS ("
+        "  SELECT tdf.term, tdf.df, lbr.lb FROM tdf"
+        "  JOIN lbr ON tdf.df >= lbr.lb_lo AND tdf.df < lbr.lb_hi), "
+        "ch AS ("
+        "  SELECT tl.term, tl.df, tl.lb, rbr.rb, rbr.rb_hi"
+        "  FROM tl JOIN rbr ON rbr.rb_lo < tl.df), "
+        "flg AS ("
+        "  SELECT ch.term, ch.df, ch.rb, ch.rb_hi,"
+        "         CASE WHEN sel.lb IS NOT NULL THEN 1 ELSE 0 END AS s"
+        "  FROM ch LEFT JOIN sel ON sel.lb = ch.lb AND sel.rb = ch.rb), "
+        "okk AS ("
+        "  SELECT term, df, rb, rb_hi, min(s) OVER (PARTITION BY term"
+        "    ORDER BY rb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "    AS ok FROM flg), "
+        "keepq AS ("
+        "  SELECT term, max(CASE WHEN ok = 1 THEN least(rb_hi, df)"
+        "                   ELSE 0 END) AS keep"
+        "  FROM okk GROUP BY term HAVING keep > 0), "
         "top AS ("
-        "  SELECT term, doc_id, score_q FROM ("
-        "    SELECT term, doc_id, score_q,"
-        "           row_number() OVER (PARTITION BY term"
-        "             ORDER BY score_q DESC, doc_id) - 1 AS pos"
-        f"    FROM scored) WHERE pos < {prefix}), "
+        "  SELECT p.term, p.doc_id, p.score_q"
+        "  FROM p JOIN keepq USING (term) WHERE p.pos < keepq.keep), "
         "qscore2 AS ("
         "  SELECT q.qid, t.doc_id, CAST(sum(t.score_q) AS BIGINT) AS score_q"
         "  FROM queries q JOIN top t ON t.term = q.term"

@@ -209,6 +209,71 @@ def greedy_select_prefixes(scored: DataFrame, matrix: pd.DataFrame,
     return taken
 
 
+def cell_greedy_prefixes(scored: DataFrame, golden_terms: DataFrame,
+                         budget_postings: int) -> DataFrame:
+    """Quality-model-driven budget selection, fully distributed AND
+    SQL-expressible → (term, keep) prefix depths.
+
+    The reference's greedy scores each candidate chunk by its quality-model
+    CELL density and admits chunks under a global budget with a per-list
+    in-order constraint (``NewGreedySelection.java:26-89``: chunk x of a
+    term scores ``model[y][x][0]``, a (bucket, chunk) cell lookup). This is
+    that selection at cell granularity:
+
+    1. matrix cells (lb, rb) ranked by density = hits/accesses desc
+       (ties: lb, rb — deterministic);
+    2. running Σ accesses over that order; a cell is selected while the
+       running total ≤ budget;
+    3. a term (length-bucket lb) keeps chunk rb iff ALL its cells (lb, 0..rb)
+       are selected (the reference's chunks-in-order constraint) —
+       keep = hi edge of the last contiguous selected chunk, clamped to df.
+
+    Everything is integer arithmetic except the density ORDERING — a single
+    IEEE int/int division, bit-identical across engines (no libm) — so the
+    DuckDB oracle (entrysql.sql_toplayer_topk) replays the selection
+    exactly. All windows are tiny (matrix cells) or per-term (≤ ~40 chunk
+    rows) — nothing global. ``greedy_select_prefixes`` above is the
+    driver-side item-level variant kept for API parity; this is the gate
+    path (Q6 → Q7 → X1)."""
+    spark = scored.sparkSession
+    matrix = quality_matrix_df(scored, golden_terms)
+    dens = matrix.withColumn(
+        "density", F.col("hits").cast("double") / F.col("accesses").cast("double"))
+    wcum = Window.orderBy(F.desc("density"), F.asc("lb"), F.asc("rb")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sel = (dens.withColumn("cum", F.sum("accesses").over(wcum))
+           .where(F.col("cum") <= budget_postings)
+           .select("lb", "rb", F.lit(1).alias("sel")))
+    lenr = _ranges_df(spark, "lb", geometric_ranges(LEN_BASE, LEN_START))
+    rankr = _ranges_df(spark, "rb", geometric_ranges(RANK_BASE, RANK_START))
+    tl = (scored.groupBy("term").agg(F.count("*").alias("df"))
+          .join(F.broadcast(lenr),
+                (F.col("df") >= F.col("lb_lo")) & (F.col("df") < F.col("lb_hi")))
+          .select("term", "df", "lb"))
+    chunks = (tl.join(F.broadcast(rankr), F.col("rb_lo") < F.col("df"))
+              .join(F.broadcast(sel), ["lb", "rb"], "left")
+              .select("term", "df", "rb", "rb_hi",
+                      F.coalesce("sel", F.lit(0)).alias("s")))
+    wok = Window.partitionBy("term").orderBy("rb") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keep = (chunks.withColumn("ok", F.min("s").over(wok))
+            .groupBy("term")
+            .agg(F.max(F.when(F.col("ok") == 1,
+                              F.least(F.col("rb_hi"), F.col("df")))
+                       .otherwise(F.lit(0))).alias("keep"))
+            .where(F.col("keep") > 0))
+    return keep
+
+
+def extract_top_layers_df(scored: DataFrame, keep: DataFrame) -> DataFrame:
+    """Chunk extraction (Q7/SelectChuncks.java:16-62) from a (term, keep)
+    DataFrame: each list's impact-ordered prefix of depth ``keep``."""
+    pos = posting_positions(scored)
+    return (pos.join(F.broadcast(keep), "term")
+            .where(F.col("pos") < F.col("keep"))
+            .select("term", "doc_id", "score_q"))
+
+
 def extract_top_layers(scored: DataFrame, prefix_lens: dict[str, int]
                        ) -> DataFrame:
     """Rewrite: keep only each list's selected impact-ordered prefix
