@@ -118,6 +118,34 @@ def main() -> None:
     extras["n_postings_unigram"] = n_post_uni
     extras["n_postings_dbigram"] = n_post_bi
 
+    # long-list kernel stress: sf-scale lists are short (WAND rarely
+    # dispatches), so measure the serving-path headroom directly — a
+    # 1M-posting hot list + 1k rare list (the idf-skew query shape at
+    # 100x corpus scale), BMW vs exhaustive, identical results asserted.
+    from candidategeneration_spark.indexcodec import encode_postings
+    from candidategeneration_spark.queryengine import (
+        topk_bmwand, topk_exhaustive)
+    rng = np.random.default_rng(42)
+
+    def synth(n, universe):
+        dids = np.sort(rng.choice(universe, n, replace=False)).astype(np.int64)
+        scores = rng.integers(1, 1_000_000, n).astype(np.int64)
+        return encode_postings(dids, scores,
+                               rng.integers(1, 50, n).astype(np.int64))
+
+    stress = [synth(1_000, 4_000_000), synth(1_000_000, 4_000_000)]
+    for fn, key in ((topk_bmwand, "kernel_1M_wand_ms"),
+                    (topk_exhaustive, "kernel_1M_exhaustive_ms")):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            res = fn(stress, 10)
+            el = (time.time() - t0) * 1e3
+            best = el if best is None else min(best, el)
+        extras[key] = round(best, 2)
+    assert np.array_equal(topk_bmwand(stress, 10)[0],
+                          topk_exhaustive(stress, 10)[0])
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "index-build+query wall seconds (sf documents corpus)",

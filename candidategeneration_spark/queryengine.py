@@ -74,41 +74,53 @@ def topk_exhaustive(segments: list[Segment], k: int):
 
 
 class _Cursor:
-    """Lazy block-decoding cursor over one term's compressed list."""
+    """Lazy block-decoding cursor over one term's compressed list.
 
-    __slots__ = ("seg", "bi", "pos", "dids", "scores", "exhausted")
+    BMW contract (round-2): SKIPPING a block must cost only metadata —
+    round 1 decoded every block it landed on, even those pruned on the very
+    next iteration, so 'skipping' a 1M-posting list still paid ~full decode
+    (profiled: 85% of WAND wall time in decode_block). Now an undecoded
+    position is represented by a LOWER BOUND on the next docID (``lb``):
+    every remaining posting is >= lb by construction, which is exactly the
+    property the WAND pivot/prune logic needs from cur_did — pruning and
+    block jumps stay sound on bounds, and the block is decoded only when a
+    window is actually evaluated (:meth:`decode_current`)."""
+
+    __slots__ = ("seg", "bi", "pos", "dids", "scores", "exhausted",
+                 "_max_score", "lb")
 
     def __init__(self, seg: Segment):
         self.seg = seg
-        self.bi = -1
+        self.bi = 0
         self.pos = 0
-        self.dids = None
+        self.dids = None       # None = current block not decoded
         self.scores = None
+        self.lb = 0            # lower bound on the next posting's docID
         self.exhausted = seg.n_blocks == 0
-        if not self.exhausted:
-            self._load(0)
-
-    def _load(self, bi: int):
-        if bi >= self.seg.n_blocks:
-            self.exhausted = True
-            return
-        self.bi = bi
-        d, s, _ = self.seg.decode_block(bi)
-        self.dids, self.scores = d, s
-        self.pos = 0
+        # cached: the pivot search reads this every iteration — an O(blocks)
+        # rescan here dominated long-list WAND runs (measured 15x slowdown)
+        self._max_score = int(seg.block_max.max()) if not self.exhausted else 0
 
     @property
     def cur_did(self) -> int:
-        return int(self.dids[self.pos])
-
-    @property
-    def cur_score(self) -> int:
-        return int(self.scores[self.pos])
+        """Exact next docID when decoded; else the sound lower bound."""
+        if self.dids is not None:
+            return int(self.dids[self.pos])
+        return self.lb
 
     @property
     def max_score(self) -> int:
-        """Global list max (WAND upper bound)."""
-        return int(self.seg.block_max.max())
+        """Global list max (WAND upper bound); cached at cursor creation."""
+        return self._max_score
+
+    def decode_current(self) -> None:
+        """Materialize the current block (window evaluation only)."""
+        if self.dids is None:
+            d, s, _ = self.seg.decode_block(self.bi)
+            self.dids, self.scores = d, s
+            # covering-block invariant: block_last[bi] >= lb, so a posting
+            # >= lb exists in this block and pos is in range
+            self.pos = int(np.searchsorted(d, self.lb, side="left"))
 
     def block_max_for(self, did: int) -> int:
         """Max score of the block that would contain ``did`` (0 if past end).
@@ -131,25 +143,26 @@ class _Cursor:
         return int(self.seg.block_last[bi])
 
     def next_geq(self, did: int):
-        """Advance to the first posting >= did (block skip + searchsorted)."""
-        if self.exhausted:
+        """Advance to the first posting >= did. Metadata-only unless the
+        target falls inside an already-decoded block; never moves backward
+        (no-op when the bound/position already satisfies ``did``)."""
+        if self.exhausted or did <= self.cur_did:
             return
         if did > int(self.seg.block_last[self.bi]):
             nbi = self.seg.first_block_geq(did)
             if nbi >= self.seg.n_blocks:
                 self.exhausted = True
                 return
-            self._load(nbi)
-        p = int(np.searchsorted(self.dids, did, side="left"))
-        if p >= self.dids.shape[0]:
-            self._load(self.bi + 1)
-        else:
-            self.pos = p
-
-    def advance(self):
-        self.pos += 1
-        if self.pos >= self.dids.shape[0]:
-            self._load(self.bi + 1)
+            self.bi = nbi
+            self.dids = None
+            self.scores = None
+            self.lb = did
+            return
+        if self.dids is None:
+            self.lb = did      # stays within the undecoded current block
+            return
+        # decoded block: did <= block_last so a posting >= did exists here
+        self.pos = int(np.searchsorted(self.dids, did, side="left"))
 
 
 def _safe_bound(vals: list[int]) -> int:
@@ -175,28 +188,27 @@ def _safe_bound(vals: list[int]) -> int:
 
 
 def topk_bmwand(segments: list[Segment], k: int):
-    """Block-Max WAND (Ding & Suel 2011 semantics), exact top-k.
+    """Block-Max WAND (Ding & Suel 2011 semantics), exact top-k, with
+    BLOCK-AT-A-TIME vectorized evaluation (round-2).
 
     Pruning is strict (< threshold), never on equality, so ties are always
     fully evaluated and the (score desc, doc_id asc) order is exact.
     Negative-score-safe (see :func:`_safe_bound`).
+
+    Round 1 stepped doc-by-doc in Python whenever pruning failed — ~50×
+    the vectorized per-posting cost, so WAND only won under extreme skew.
+    Now a failed prune evaluates the whole covering-block WINDOW
+    [pivot_did, W] (W = min end of the lists' current blocks) in one NumPy
+    group-sum: every Python-loop iteration either SKIPS a block range
+    (metadata only) or SCORES up to a block's worth of postings vectorized
+    — per-posting Python overhead is gone from both paths, keeping serving
+    p99 flat when lists are 100× longer.
     """
     cursors = [_Cursor(s) for s in segments if s.n_blocks > 0]
     if not cursors:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     heap: list[tuple[int, int]] = []  # (score, -doc_id) min-heap of top-k
     threshold = -(1 << 62)
-
-    def push(did: int, score: int):
-        nonlocal threshold
-        item = (score, -did)
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-            if len(heap) == k:
-                threshold = heap[0][0]
-        elif item > heap[0]:
-            heapq.heapreplace(heap, item)
-            threshold = heap[0][0]
 
     while True:
         live = [c for c in cursors if not c.exhausted]
@@ -238,20 +250,49 @@ def topk_bmwand(segments: list[Segment], k: int):
             for c in live[: pivot + 1]:
                 c.next_geq(target)
             continue
-        if live[0].cur_did == pivot_did:
-            # all lists up to pivot aligned on pivot_did → score it fully
-            score = 0
-            for c in live:
-                if not c.exhausted and c.cur_did == pivot_did:
-                    score += c.cur_score
-            push(pivot_did, score)
-            for c in live:
-                if not c.exhausted and c.cur_did == pivot_did:
-                    c.advance()
-        else:
-            # align lists before the pivot onto pivot_did
-            for c in live[:pivot]:
-                c.next_geq(pivot_did)
+        # EVALUATE window: align every list onto >= pivot_did (prefix lists
+        # skip their sub-pivot docs — the WAND invariant says those can't
+        # reach the threshold), then group-sum all postings in
+        # [pivot_did, W] where W = min end of the aligned current blocks —
+        # each list's slice is within one block, decoded HERE and only here
+        # (a list whose lower bound already exceeds W has nothing in the
+        # window and stays compressed).
+        for c in live[:pivot]:
+            c.next_geq(pivot_did)
+        alive = [c for c in live if not c.exhausted]
+        if not alive:
+            continue
+        W = min(int(c.seg.block_last[c.bi]) for c in alive)
+        cand_d, cand_s = [], []
+        for c in alive:
+            if c.cur_did > W:
+                continue
+            c.decode_current()
+            hi = int(np.searchsorted(c.dids, W, side="right"))
+            if hi > c.pos:
+                cand_d.append(c.dids[c.pos:hi])
+                cand_s.append(c.scores[c.pos:hi])
+        if cand_d:
+            dids = np.concatenate(cand_d)
+            scs = np.concatenate(cand_s)
+            uniq, inv = np.unique(dids, return_inverse=True)
+            sums = np.zeros(uniq.shape[0], dtype=np.int64)
+            np.add.at(sums, inv, scs)
+            # push best-first; once an item can't beat the heap min, none
+            # of the remaining (sorted) candidates can either
+            for i in np.lexsort((uniq, -sums)):
+                item = (int(sums[i]), -int(uniq[i]))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                    if len(heap) == k:
+                        threshold = heap[0][0]
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                    threshold = heap[0][0]
+                else:
+                    break
+        for c in alive:
+            c.next_geq(W + 1)
     if not heap:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     items = sorted(heap, key=lambda t: (-t[0], -t[1]))
@@ -260,13 +301,18 @@ def topk_bmwand(segments: list[Segment], k: int):
     return dids, scs
 
 
-# Python-loop WAND costs ~50× the vectorized per-posting cost, so pruning
-# must be able to skip ≳98% of postings to win. That requires (a) positive
-# upper bounds everywhere (negative-IDF stopword lists weaken the safe
-# bound) and (b) strong length skew: a short list drives the pivot while the
-# long lists get skipped block-wise.
+# Dispatch constants, re-measured for the block-at-a-time lazy-decode WAND
+# kernel (round-2): WAND wins when pruning can actually skip block decodes —
+# (a) a single list of any size past ~25k postings (3.3-5x: blocks whose max
+# can't beat the running top-k threshold are never decoded), or (b) strong
+# length skew with positive bounds (1.9-4x at min_df/total <= 1/50: the
+# rare list drives the pivot, the hot lists skip block-wise). Near-equal
+# list lengths with flat block maxes (the realistic BM25 worst case: every
+# 128-doc block's max is a high percentile of the same score distribution)
+# cannot prune and pay pure overhead (0.2-0.4x) — exhaustive wins there.
 WAND_STEP_FACTOR = 50
 WAND_MIN_TOTAL = 100_000
+WAND_SINGLE_MIN = 25_000
 
 
 def topk_auto(segments: list[Segment], k: int):
@@ -277,6 +323,10 @@ def topk_auto(segments: list[Segment], k: int):
         return np.empty(0, np.int64), np.empty(0, np.int64)
     dfs = [int(s.df) for s in segments]
     total = sum(dfs)
+    if len(segments) == 1:
+        if total >= WAND_SINGLE_MIN:
+            return topk_bmwand(segments, k)
+        return topk_exhaustive(segments, k)
     positive = all(int(np.max(s.block_max)) > 0
                    for s in segments if s.n_blocks > 0)
     if positive and total >= WAND_MIN_TOTAL \
