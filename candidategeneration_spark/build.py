@@ -77,8 +77,9 @@ _RUN_SCHEMA = StructType([
 # --------------------------------------------------------------------------
 
 def _explode_tf(pdf: pd.DataFrame, id_col: str, text_col: str,
-                dbigram_distance: int | None) -> pd.DataFrame:
-    toks = tokenize_pandas(pdf[text_col])
+                dbigram_distance: int | None,
+                stopwords=None) -> pd.DataFrame:
+    toks = tokenize_pandas(pdf[text_col], stopwords)
     lens = toks.map(len).to_numpy(dtype=np.int64)
     doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
     if lens.sum() == 0:
@@ -156,7 +157,8 @@ def _dbigram_frame(doc_ids, toks, unigram_tf: pd.DataFrame,
 def build_postings(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    dbigram_distance: int | None = None,
-                   term_filter: DataFrame | None = None) -> DataFrame:
+                   term_filter: DataFrame | None = None,
+                   stopwords=None) -> DataFrame:
     """corpus → (term, doc_id, tf, doc_len, maxtf) via one Arrow pass.
 
     Map-side pre-aggregation: raw tokens never leave the Python worker —
@@ -176,7 +178,8 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _explode_tf(pdf, "doc_id", "__text", dbigram_distance)
+            yield _explode_tf(pdf, "doc_id", "__text", dbigram_distance,
+                              stopwords)
 
     out = cols.mapInPandas(gen, schema=POSTINGS_SCHEMA)
     if term_filter is not None:
@@ -189,12 +192,14 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
 # Phase 2 — global stats + per-term df + quantized BM25
 # --------------------------------------------------------------------------
 
-def global_stats(docs: DataFrame, text_col: str = "text") -> dict:
+def global_stats(docs: DataFrame, text_col: str = "text",
+                 stopwords=None) -> dict:
     """N docs / total kept tokens / floored avgdl (``InvertedIndex.java:171``).
 
     Counts *all* docs (even token-less ones), like the reference's scan.
     """
-    row = docs.select(F.size(tokens_col(F.col(text_col))).alias("dl")) \
+    row = docs.select(F.size(tokens_col(F.col(text_col), stopwords))
+                      .alias("dl")) \
               .agg(F.count("*").alias("n"), F.sum("dl").alias("tot")) \
               .collect()[0]
     n, tot = int(row["n"]), int(row["tot"] or 0)
@@ -261,7 +266,8 @@ PAIR_SCORED_SCHEMA = StructType([
 ])
 
 
-def _pair_rows_scored(pdf: pd.DataFrame, distance: int) -> pd.DataFrame:
+def _pair_rows_scored(pdf: pd.DataFrame, distance: int,
+                      stopwords=None) -> pd.DataFrame:
     """One Arrow batch of (doc_id, __text, __terms sorted, __scores aligned)
     → scored pair postings, all doc-local (no join touches the pair table).
 
@@ -271,7 +277,7 @@ def _pair_rows_scored(pdf: pd.DataFrame, distance: int) -> pd.DataFrame:
     of the pair (the oracle's t1), s2 to the larger; the stored pair score
     is s1+s2 (``InvertedIndex.java:302-307``).
     """
-    toks = tokenize_pandas(pdf["__text"])
+    toks = tokenize_pandas(pdf["__text"], stopwords)
     out: list[pd.DataFrame] = []
     for did, ts, terms, scores in zip(
             pdf["doc_id"].to_numpy(np.int64), toks,
@@ -317,8 +323,8 @@ def _pair_rows_scored(pdf: pd.DataFrame, distance: int) -> pd.DataFrame:
 
 def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
-                        dbigram_distance: int = DBIGRAM_DISTANCE
-                        ) -> DataFrame:
+                        dbigram_distance: int = DBIGRAM_DISTANCE,
+                        stopwords=None) -> DataFrame:
     """Scored d-bigram postings with DOC-LOCAL pair scoring.
 
     Round-1 scored pairs by joining the pair table TWICE against the scored
@@ -351,7 +357,7 @@ def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _pair_rows_scored(pdf, dbigram_distance)
+            yield _pair_rows_scored(pdf, dbigram_distance, stopwords)
 
     return joined.mapInPandas(gen, schema=PAIR_SCORED_SCHEMA)
 
@@ -538,7 +544,8 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
                 dbigram_distance: int | None = DBIGRAM_DISTANCE,
                 salt_buckets: int = 0,
                 persist: bool = True,
-                phase_times: dict | None = None) -> tuple[DataFrame, dict]:
+                phase_times: dict | None = None,
+                stopwords=None) -> tuple[DataFrame, dict]:
     """End-to-end build → (segments DataFrame, stats dict).
 
     Unigram postings are built ONCE (one Arrow tokenize pass) and scored
@@ -557,7 +564,8 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     materialized sub-phases (benchmark instrumentation).
     """
     import time as _time
-    postings = build_postings(docs, id_col, text_col, None)
+    postings = build_postings(docs, id_col, text_col, None,
+                              stopwords=stopwords)
     if persist:
         postings = postings.persist()
     # n_docs via parquet metadata / cheap count — no tokenize; total tokens
@@ -577,8 +585,15 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
         if persist:
             scored = scored.persist()
         pairs = build_pair_postings(docs, scored, id_col, text_col,
-                                    dbigram_distance)
+                                    dbigram_distance, stopwords=stopwords)
+        # X2 parity in the STORED index: pair tf is meaningless (always 1 —
+        # the reference scorer never reads it), so the tf stream carries
+        # zigzag(s2) instead: a stored pair segment yields the separate
+        # (did, s1, s2) component streams via s1 = score - s2
+        # (``algo_toplayer.cpp:477-564``, ``BigramIndex.java:44-85``).
+        # zigzag keeps negative components 1-2 VByte bytes.
+        s2z = F.expr("(s2 << 1) ^ (s2 >> 63)").cast("long").alias("tf")
         seg_in = scored.select("term", "doc_id", "tf", "score_q") \
-            .unionByName(pairs.select("term", "doc_id", "tf", "score_q"))
+            .unionByName(pairs.select("term", "doc_id", s2z, "score_q"))
         return build_segments(seg_in, salt_buckets), stats
     return build_segments(scored, salt_buckets), stats

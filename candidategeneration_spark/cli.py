@@ -27,6 +27,13 @@ def _spark(args):
     return get_spark(master=args.master)
 
 
+def _stopwords(args):
+    if getattr(args, "stopwords_web", False):
+        from .tokenizer import STOPWORDS_WEB
+        return STOPWORDS_WEB
+    return None
+
+
 def cmd_zip(args) -> int:
     from .config import package_zip
     print(package_zip(args.out))
@@ -50,14 +57,16 @@ def cmd_build(args) -> int:
                       n_buckets=args.buckets)
     elif args.hot_df:
         postings = build_postings(docs, id_col, text_col,
-                                  args.dbigram or None).persist()
+                                  args.dbigram or None,
+                                  stopwords=_stopwords(args)).persist()
         stats = global_stats_from_postings(postings, docs.count())
         scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
         segments = build_segments_skew_aware(scored, args.hot_df)
         save_segments(segments, args.out, n_buckets=args.buckets)
     else:
         segments, stats = build_index(docs, id_col, text_col,
-                                      args.dbigram or None)
+                                      args.dbigram or None,
+                                      stopwords=_stopwords(args))
         save_segments(segments, args.out, n_buckets=args.buckets)
     print(json.dumps({"out": args.out, **stats}))
     return 0
@@ -103,6 +112,11 @@ def main(argv=None) -> int:
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--resume-root", default=None, dest="resume_root",
                    help="checkpoint dir for resumable phase builds")
+    b.add_argument("--stopwords-web", action="store_true",
+                   dest="stopwords_web",
+                   help="drop the standard English web stopword list at "
+                        "tokenize time (reference T2 capability; default "
+                        "off for code corpora)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="run a query file against an index")

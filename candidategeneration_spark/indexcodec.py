@@ -124,6 +124,93 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(gaps.astype(np.int64))
 
 
+# --------------------------------------------------------------------------
+# PForDelta (C4): bit-packed "frame of reference" with patched exceptions.
+# The reference depends on a PForDelta implementation for its compressed
+# lists (pom.xml:241-245); segments here default to delta+VByte (the north
+# star's mandated codec) and this is the optional alternative for
+# gap-distributions with a tight mode + rare outliers, where a fixed b-bit
+# frame beats per-value byte alignment. Format (little-endian):
+#   header  b:u8  n:u32  n_exc:u32  pos_len:u32
+#   packed  ceil(n*b/8) bytes — each value's low b bits, LSB-first
+#   pos     vbyte(delta(exception positions))      [pos_len bytes]
+#   high    vbyte(value >> b per exception)        [to end]
+# b is chosen per call by exact cost minimization over 0..32; values that
+# don't fit b bits keep their low bits in the frame and patch the high
+# bits from the exception stream (Zukowski et al. 2006 semantics).
+# --------------------------------------------------------------------------
+
+_PFOR_HEADER = 13  # 1 + 4 + 4 + 4
+
+
+def _pack_bits(vals: np.ndarray, b: int) -> bytes:
+    """Pack each value's low b bits into a contiguous LSB-first bitstream."""
+    if b == 0 or vals.shape[0] == 0:
+        return b""
+    n = vals.shape[0]
+    out = np.zeros((n * b + 7) // 8, dtype=np.uint8)
+    bitpos = np.arange(n, dtype=np.int64) * b
+    for bit in range(b):
+        p = bitpos + bit
+        np.bitwise_or.at(
+            out, p >> 3,
+            ((vals >> _U64(bit)) & _U64(1)).astype(np.uint8)
+            << (p & 7).astype(np.uint8))
+    return out.tobytes()
+
+
+def _unpack_bits(buf, n: int, b: int) -> np.ndarray:
+    if b == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    bitpos = np.arange(n, dtype=np.int64) * b
+    out = np.zeros(n, dtype=np.uint64)
+    for bit in range(b):
+        p = bitpos + bit
+        out |= ((arr[p >> 3] >> (p & 7).astype(np.uint8))
+                & 1).astype(np.uint64) << _U64(bit)
+    return out
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """PForDelta-encode a 1-D array of non-negative (uint64) ints."""
+    import struct
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.shape[0]
+    if n == 0:
+        return struct.pack("<BIII", 0, 0, 0, 0)
+    best_b, best_cost = 0, None
+    for b in range(0, 33):
+        n_exc = int((v >= (_U64(1) << _U64(b))).sum())
+        cost = (n * b + 7) // 8 + 3 * n_exc  # ≈2B pos + ≥1B high each
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    b = best_b
+    exc = v >= (_U64(1) << _U64(b))
+    low = v & ((_U64(1) << _U64(b)) - _U64(1)) if b else np.zeros_like(v)
+    packed = _pack_bits(low, b)
+    pos = np.flatnonzero(exc)
+    pos_bytes = vbyte_encode(delta_encode(pos))
+    high_bytes = vbyte_encode(v[exc] >> _U64(b))
+    return (struct.pack("<BIII", b, n, int(pos.shape[0]), len(pos_bytes))
+            + packed + pos_bytes + high_bytes)
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`pfor_encode` → uint64 array."""
+    import struct
+    b, n, n_exc, pos_len = struct.unpack_from("<BIII", buf, 0)
+    off = _PFOR_HEADER
+    plen = (n * b + 7) // 8
+    out = _unpack_bits(buf[off:off + plen], n, b)
+    off += plen
+    if n_exc:
+        pos = delta_decode(vbyte_decode(buf[off:off + pos_len]))
+        high = vbyte_decode(buf[off + pos_len:])
+        out[pos] |= high << _U64(b)
+    return out
+
+
 class Segment:
     """In-memory decoded view of one term's compressed posting list.
 

@@ -37,12 +37,37 @@ TOKEN_KEEP_RE = r"[^a-z0-9.]"
 MIN_TOKEN_LEN = 2
 DBIGRAM_DISTANCE = 5
 
+# Optional stopword capability (T2): the reference ships a ~650-entry web
+# stopword list (HtmlpageCleaner.java:107-655) applied at tokenize time.
+# For source-code corpora the default is NONE (identifiers like 'if'/'for'
+# are signal), but the option is first-class: a standard public English
+# list is provided, and every tokenizer path accepts any iterable.
+STOPWORDS_WEB = frozenset("""
+a about above after again against all am an and any are as at be because
+been before being below between both but by cannot could did do does doing
+down during each few for from further had has have having he her here hers
+herself him himself his how i if in into is it its itself just me more
+most my myself no nor not of off on once only or other our ours ourselves
+out over own same she should so some such than that the their theirs them
+themselves then there these they this those through to too under until up
+very was we were what when where which while who whom why will with would
+you your yours yourself yourselves
+""".split())
 
-def tokens_col(text: Column) -> Column:
-    """tokens as array<string> using only JVM built-ins (codegen path)."""
+
+def tokens_col(text: Column, stopwords=None) -> Column:
+    """tokens as array<string> using only JVM built-ins (codegen path).
+
+    ``stopwords``: optional iterable — matching tokens are dropped after
+    the length filter (reference semantics: stopword removal happens at
+    tokenize time, before tf counting)."""
     cleaned = F.regexp_replace(F.lower(text), TOKEN_KEEP_RE, " ")
     arr = F.split(F.trim(cleaned), r"\s+")
-    return F.filter(arr, lambda t: F.length(t) >= MIN_TOKEN_LEN)
+    kept = F.filter(arr, lambda t: F.length(t) >= MIN_TOKEN_LEN)
+    if stopwords:
+        sw = F.array(*[F.lit(s) for s in sorted(stopwords)])
+        kept = F.filter(kept, lambda t: ~F.array_contains(sw, t))
+    return kept
 
 
 _TOKEN_SPLIT = None
@@ -57,10 +82,14 @@ def _splitter():
     return _TOKEN_SPLIT
 
 
-def tokenize_text(text: str) -> list[str]:
+def tokenize_text(text: str, stopwords=None) -> list[str]:
     """Single-string tokenizer (test oracle / driver-side use)."""
     parts = _splitter().sub(" ", text.lower()).split()
-    return [t for t in parts if len(t) >= MIN_TOKEN_LEN]
+    kept = [t for t in parts if len(t) >= MIN_TOKEN_LEN]
+    if stopwords:
+        sw = set(stopwords)
+        kept = [t for t in kept if t not in sw]
+    return kept
 
 
 # findall form of the same contract: maximal runs of kept chars with
@@ -70,9 +99,13 @@ def tokenize_text(text: str) -> list[str]:
 _TOKEN_FINDALL_RE = rf"[a-z0-9.]{{{MIN_TOKEN_LEN},}}"
 
 
-def tokenize_pandas(texts: pd.Series) -> pd.Series:
+def tokenize_pandas(texts: pd.Series, stopwords=None) -> pd.Series:
     """Vectorized tokenizer: Series[str] -> Series[list[str]]."""
-    return texts.str.lower().str.findall(_TOKEN_FINDALL_RE)
+    toks = texts.str.lower().str.findall(_TOKEN_FINDALL_RE)
+    if stopwords:
+        sw = set(stopwords)
+        toks = toks.map(lambda ts: [t for t in ts if t not in sw])
+    return toks
 
 
 def doc_term_freqs(tokens: list[str]):

@@ -116,6 +116,37 @@ def test_tokenizer_paths_agree(spark):
     assert py == jvm
 
 
+def test_stopword_option_all_paths(spark):
+    """T2: stopword filtering is an option on every tokenizer path with
+    identical output; default (None) keeps everything >= MIN_TOKEN_LEN."""
+    from candidategeneration_spark.tokenizer import STOPWORDS_WEB
+    texts = ["The quick fox and the lazy dog", "def foo(self): return this",
+             "", "and and and"]
+    sw = STOPWORDS_WEB
+    py = [tokenize_text(t, sw) for t in texts]
+    assert py[0] == ["quick", "fox", "lazy", "dog"]
+    assert py[3] == []
+    assert tokenize_pandas(pd.Series(texts), sw).tolist() == py
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [r[0] for r in sdf.select(tokens_col(sdf.text, sw)).collect()]
+    assert jvm == py
+    # default None unchanged
+    assert "the" in tokenize_text(texts[0])
+
+
+def test_stopword_option_build(spark):
+    from candidategeneration_spark.build import build_postings
+    docs = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "cat hat cat")],
+        "doc_id long, text string")
+    rows = build_postings(docs, stopwords={"the", "and"}).collect()
+    terms = {r["term"] for r in rows}
+    assert terms == {"cat", "hat"}
+    # doc_len counts KEPT tokens only (stopwords removed before stats)
+    dl = {r["doc_id"]: r["doc_len"] for r in rows}
+    assert dl == {0: 2, 1: 3}
+
+
 def test_dbigram_windows():
     toks = "a1 b1 c1 d1 e1 f1 g1".split()
     pairs = dbigram_pairs(toks, distance=2)

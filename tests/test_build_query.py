@@ -82,6 +82,26 @@ def test_pair_postings_match_oracle(built, oracle):
         assert s.tolist() == [e[1] for e in expect]
 
 
+def test_pair_segment_component_streams(built, oracle):
+    """X2: stored pair segments carry SEPARATE component streams — the tf
+    channel holds zigzag(s2) (pair tf is meaningless), so (did, s1, s2)
+    reconstructs from the store: s2 = unzigzag(tf), s1 = score - s2."""
+    from candidategeneration_spark.indexcodec import zigzag_decode
+    segs, _ = built
+    pairs = sorted(oracle.pair_docs)[:3]
+    keys = [B.PAIR_SEP.join(p) for p in pairs]
+    rows = {r["term"]: r for r in
+            segs.where(F.col("term").isin(keys)).collect()}
+    for (t1, t2), key in zip(pairs, keys):
+        seg = segment_from_row(rows[key])
+        d, s, tfz = seg.decode_all()
+        s2 = zigzag_decode(tfz.astype(np.uint64))
+        s1 = s - s2
+        for did, a, b in zip(d.tolist(), s1.tolist(), s2.tolist()):
+            assert a == oracle.unigram_score(t1, did)
+            assert b == oracle.unigram_score(t2, did)
+
+
 def test_df_and_block_invariants(built, oracle):
     segs, _ = built
     for r in segs.collect():

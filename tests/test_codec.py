@@ -97,3 +97,37 @@ def test_zigzag_roundtrip_negative_scores():
     enc = vbyte_encode(zigzag_encode(small))
     assert len(enc) <= 2 * small.size
     assert (zigzag_decode(vbyte_decode(enc)) == small).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_pfor_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(ic.pfor_decode(ic.pfor_encode(arr)), arr)
+
+
+@pytest.mark.parametrize("dist", ["zeros", "dense_gaps", "outliers", "big"])
+def test_pfor_distributions(dist):
+    rng = np.random.default_rng(3)
+    if dist == "zeros":
+        arr = np.zeros(1000, dtype=np.uint64)
+    elif dist == "dense_gaps":
+        arr = rng.integers(1, 8, 1000).astype(np.uint64)
+    elif dist == "outliers":
+        arr = rng.integers(1, 16, 1000).astype(np.uint64)
+        arr[rng.choice(1000, 20, replace=False)] = rng.integers(
+            2**30, 2**40, 20).astype(np.uint64)
+    else:
+        arr = rng.integers(0, 2**63, 1000).astype(np.uint64)
+    assert np.array_equal(ic.pfor_decode(ic.pfor_encode(arr)), arr)
+
+
+def test_pfor_beats_vbyte_on_tight_mode_with_outliers():
+    """The codec's raison d'être: sub-byte-width gap distributions with
+    rare outliers — VByte pays >=1 byte/value, PFor pays b bits + patches."""
+    rng = np.random.default_rng(5)
+    gaps = rng.integers(1, 8, 10_000).astype(np.uint64)   # 3-bit mode
+    gaps[rng.choice(10_000, 50, replace=False)] = 1 << 20  # rare outliers
+    pf = len(ic.pfor_encode(gaps))
+    vb = len(ic.vbyte_encode(gaps))
+    assert pf < vb * 0.6, (pf, vb)

@@ -28,3 +28,36 @@ def test_gzip_csv_hits_roundtrip(spark, tmp_path):
     assert agg[3] == 1 * w[1] + 1 * w[2] + 1 * w[3]
     # DCG property: equal counts at deeper ranks contribute less
     assert w[1] > w[2] > w[3]
+
+
+def test_corpusio_doc_id_derivation(spark, tmp_path):
+    from candidategeneration_spark.sources import corpusio
+    path = str(tmp_path / "corpus.parquet")
+    df = spark.createDataFrame(
+        [("r1", "a.py", "c" * 40, "py", "def foo(): pass"),
+         ("r1", "b.py", "c" * 40, "py", "def bar(): pass"),
+         ("r2", "a.py", "d" * 40, "py", "def foo(): pass")],
+        "repo string, path string, commit string, lang string, content string")
+    df.write.mode("overwrite").parquet(path)
+    docs = corpusio.read_corpus(spark, path)
+    assert "doc_id" in docs.columns
+    ids1 = sorted(r["doc_id"] for r in docs.collect())
+    # deterministic across re-reads and partitioning
+    ids2 = sorted(r["doc_id"] for r in
+                  corpusio.read_corpus(spark, path).repartition(7).collect())
+    assert ids1 == ids2 and len(set(ids1)) == 3
+    assert corpusio.check_doc_id_unique(docs) == 0
+    # passthrough when doc_id already present
+    from pyspark.sql import functions as F
+    with_id = df.withColumn("doc_id", F.lit(5))
+    assert corpusio.with_doc_id(with_id) is with_id
+
+
+def test_corpusio_catalog_table(spark):
+    from candidategeneration_spark.sources import corpusio
+    df = spark.createDataFrame(
+        [("r1", "x.py", "e" * 40, "py", "import os")],
+        "repo string, path string, commit string, lang string, content string")
+    df.createOrReplaceTempView("code_files_tmp")
+    docs = corpusio.read_corpus(spark, "code_files_tmp")
+    assert docs.count() == 1 and "doc_id" in docs.columns
