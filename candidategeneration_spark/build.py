@@ -278,39 +278,56 @@ def _pair_rows_scored(pdf: pd.DataFrame, distance: int,
     is s1+s2 (``InvertedIndex.java:302-307``).
     """
     toks = tokenize_pandas(pdf["__text"], stopwords)
-    out: list[pd.DataFrame] = []
+    o_term, o_did, o_s1, o_s2 = [], [], [], []
     for did, ts, terms, scores in zip(
             pdf["doc_id"].to_numpy(np.int64), toks,
             pdf["__terms"], pdf["__scores"]):
         n = len(ts)
         if n < 2:
             continue
-        arr = np.asarray(ts, dtype=object)
+        # doc-LOCAL integer ids: windowing/dedup on int64 keys is ~5x
+        # cheaper than string concat + string unique over the ~d*len
+        # pre-dedup pairs; strings are materialized only for the deduped
+        # output pairs
+        tsorted = np.asarray(terms, dtype=str)
+        k = tsorted.shape[0]
+        tok_str = np.asarray(ts, dtype=str)
+        tok_ids = np.searchsorted(tsorted, tok_str)
+        # every token must resolve to its term: scored_uni must be the
+        # UNFILTERED unigram postings of the doc (build_index guarantees
+        # it; a term_filter'ed set here would silently mis-score pairs)
+        if k == 0 or not (tsorted[np.minimum(tok_ids, k - 1)]
+                          == tok_str).all():
+            raise ValueError(
+                "pair pass: document tokens missing from the per-doc "
+                "score map — build_pair_postings needs unfiltered "
+                "scored unigrams")
         lefts, rights = [], []
         for s in range(1, min(distance, n - 1) + 1):
-            lefts.append(arr[:-s])
-            rights.append(arr[s:])
+            lefts.append(tok_ids[:-s])
+            rights.append(tok_ids[s:])
         a = np.concatenate(lefts)
         b = np.concatenate(rights)
         neq = a != b
         a, b = a[neq], b[neq]
         if a.shape[0] == 0:
             continue
-        swap = a > b
-        lo = np.where(swap, b, a)
-        hi = np.where(swap, a, b)
-        packed = np.char.add(np.char.add(lo.astype(str), PAIR_SEP),
-                             hi.astype(str))
-        uniq, first = np.unique(packed, return_index=True)
-        tsorted = np.asarray(terms, dtype=object).astype(str)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keys = np.unique(lo * k + hi)
+        lo_u = keys // k
+        hi_u = keys % k
         svals = np.asarray(scores, dtype=np.int64)
-        s1 = svals[np.searchsorted(tsorted, lo[first].astype(str))]
-        s2 = svals[np.searchsorted(tsorted, hi[first].astype(str))]
-        out.append(pd.DataFrame({
-            "term": uniq, "doc_id": np.full(uniq.shape[0], did, np.int64),
-            "tf": np.ones(uniq.shape[0], np.int64),
-            "s1": s1, "s2": s2, "score_q": s1 + s2}))
-    if not out:
+        # plain-Python concat over the DEDUPED pairs beats np.char.add by
+        # ~10x per element (no per-call ufunc machinery on strings)
+        o_term.append(np.fromiter(
+            (a + PAIR_SEP + b for a, b in
+             zip(tsorted[lo_u].tolist(), tsorted[hi_u].tolist())),
+            dtype=object, count=keys.shape[0]))
+        o_did.append(np.full(keys.shape[0], did, np.int64))
+        o_s1.append(svals[lo_u])
+        o_s2.append(svals[hi_u])
+    if not o_term:
         return pd.DataFrame({
             "term": pd.Series([], dtype=object),
             "doc_id": pd.Series([], dtype=np.int64),
@@ -318,7 +335,13 @@ def _pair_rows_scored(pdf: pd.DataFrame, distance: int,
             "s1": pd.Series([], dtype=np.int64),
             "s2": pd.Series([], dtype=np.int64),
             "score_q": pd.Series([], dtype=np.int64)})
-    return pd.concat(out, ignore_index=True)
+    s1 = np.concatenate(o_s1)
+    s2 = np.concatenate(o_s2)
+    return pd.DataFrame({
+        "term": np.concatenate(o_term).astype(object),
+        "doc_id": np.concatenate(o_did),
+        "tf": np.ones(s1.shape[0], np.int64),
+        "s1": s1, "s2": s2, "score_q": s1 + s2})
 
 
 def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
