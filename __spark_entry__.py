@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": entries.q_ann_brute_topk,
         "ann_lsh_buckets": entries.q_ann_lsh_buckets,
         "ann_lsh_topk": entries.q_ann_lsh_topk,
+        "ann_ivf_cells": entries.q_ann_ivf_cells,
+        "ann_ivf_topk": entries.q_ann_ivf_topk,
         "ann_cosine_topk": entries.q_ann_cosine_topk,  # rank-only (floats)
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
@@ -102,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": entrysql.sql_ann_brute_topk(),
         "ann_lsh_buckets": entrysql.sql_ann_lsh_buckets(),
         "ann_lsh_topk": entrysql.sql_ann_lsh_topk(),
+        "ann_ivf_cells": entrysql.sql_ann_ivf_cells(),
+        "ann_ivf_topk": entrysql.sql_ann_ivf_topk(),
         "ann_cosine_topk": entrysql.sql_ann_cosine_topk(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),

@@ -104,6 +104,100 @@ def lsh_topk(emb: DataFrame, n_probes: int = 10, k: int = 10,
                           "vec_id", "score_q"))
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer — the second scale path beside LSH.
+# Deterministic integer k-means: centroids init from the first IVF_K
+# vectors, exactly IVF_ITERS Lloyd iterations, all arithmetic exact
+# (int64 squared-L2; centroid update = floor(mean) via double division of
+# small int sums — IEEE-exact, identical in the SQL oracle); assignment
+# tie-break (dist, cid) ascending. Query probes its IVF_NPROBE nearest
+# cells and scores only their members — at corpus scale the cell
+# equi-join replaces the cross join, like a FAISS IVF-Flat index.
+# ---------------------------------------------------------------------------
+
+IVF_K = 8
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid by exact int squared-L2,
+    ties to the smallest cid."""
+    from pyspark.sql import Window
+    d = (q.crossJoin(F.broadcast(cents))
+          .select("vec_id", "cid",
+                  _sqdist(F.col("qvec"), F.col("cv")).alias("dist")))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (d.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1).select("vec_id", "cid"))
+
+
+def ivf_centroids(emb: DataFrame, k: int = IVF_K,
+                  iters: int = IVF_ITERS) -> DataFrame:
+    """(cid, cv array<long>): deterministic k-means centroids."""
+    q = quantized(emb).select("vec_id", "qvec")
+    cents = q.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qvec").alias("cv"))
+    for _ in range(iters):
+        assigned = _assign(q, cents)
+        comp = (q.join(assigned, "vec_id")
+                 .select("cid", F.posexplode("qvec").alias("i", "x")))
+        upd = (comp.groupBy("cid", "i")
+               .agg(F.floor(F.sum("x").cast("double") / F.count("*"))
+                    .cast("long").alias("cx")))
+        cents = (upd.groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(F.struct("i", "cx")))
+                      .alias("s"))
+                 .select("cid", F.col("s.cx").alias("cv")))
+        # empty cells keep no row → their cid simply disappears (same
+        # semantics in the oracle: GROUP BY only over assigned members)
+    return cents
+
+
+def ivf_cells(emb: DataFrame, k: int = IVF_K,
+              iters: int = IVF_ITERS) -> DataFrame:
+    """(vec_id, cid): final cell assignment — the inverted file."""
+    q = quantized(emb).select("vec_id", "qvec")
+    return _assign(q, ivf_centroids(emb, k, iters))
+
+
+def ivf_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
+             k: int = IVF_K, iters: int = IVF_ITERS,
+             nprobe: int = IVF_NPROBE) -> DataFrame:
+    """(qid, rank, vec_id, score_q): probe the ``nprobe`` nearest cells,
+    exact integer dot product over their members only. Recall < 1 by
+    construction (same contract as lsh_topk); the cell equi-join is the
+    piece that scales."""
+    from pyspark.sql import Window
+    q = quantized(emb).select("vec_id", "qvec")
+    cents = ivf_centroids(emb, k, iters)
+    cells = _assign(q, cents)
+    probes = q.where(F.col("vec_id") < n_probes) \
+              .select(F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"))
+    pd_ = (probes.crossJoin(F.broadcast(cents))
+           .select("qid", "qv", "cid",
+                   _sqdist(F.col("qv"), F.col("cv")).alias("dist")))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
+    probe_cells = (pd_.withColumn("rn", F.row_number().over(w))
+                   .where(F.col("rn") <= nprobe).select("qid", "qv", "cid"))
+    members = q.join(cells, "vec_id")
+    scored = (members.join(probe_cells, "cid")
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      _int_dot(F.col("qvec"), F.col("qv")).alias("score_q")))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w2) - 1)
+            .where(F.col("rank") < topk)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "score_q"))
+
+
 def cosine_topk_pandas(emb: DataFrame, n_probes: int = 10,
                        k: int = 10) -> DataFrame:
     """Float cosine top-k via vectorized NumPy (matrix multiply per Arrow

@@ -176,6 +176,19 @@ def q_ann_lsh_topk(spark, sf_dir):
     return annops.lsh_topk(emb)
 
 
+def q_ann_ivf_cells(spark, sf_dir):
+    from . import annops
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annops.ivf_cells(emb).select(
+        "vec_id", F.col("cid").cast("long").alias("cid"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from . import annops
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annops.ivf_topk(emb)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Rank-only projection of the float cosine path: the cos value itself
     is fp-summation-order dependent (NumPy matmul vs sequential SQL sum)

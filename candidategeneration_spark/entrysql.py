@@ -453,6 +453,73 @@ def sql_ann_lsh_topk(n_probes: int = 10, k: int = 10,
         f" QUALIFY rank < {k}")
 
 
+def _ivf_prefix(k: int, iters: int, dim: int = 64) -> str:
+    """CTE chain replaying annops' deterministic integer k-means: centroid
+    init from the first k vectors, `iters` unrolled Lloyd iterations
+    (exact int squared-L2 assignment with (dist, cid) tie-break; update =
+    floor of the component mean via double division of small int sums —
+    IEEE-exact on both engines), plus a final assignment a{iters} against
+    the final centroids."""
+    sq = (f"list_sum(list_transform(range(1, {dim + 1}),"
+          " i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])))")
+    parts = [_QVEC_CTE,
+             f"cents0 AS (SELECT vec_id AS cid, v AS cv FROM qv"
+             f" WHERE vec_id < {k})"]
+    for t in range(iters + 1):
+        parts.append(
+            f"d{t} AS (SELECT q.vec_id, c.cid, {sq} AS dist"
+            f" FROM qv q CROSS JOIN cents{t} c)")
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cid) AS rn FROM d{t}) WHERE rn = 1)")
+        if t == iters:
+            break
+        parts.append(
+            f"comp{t} AS (SELECT a.cid, unnest(q.v) AS x,"
+            f" generate_subscripts(q.v, 1) AS i"
+            f" FROM qv q JOIN a{t} a USING (vec_id))")
+        parts.append(
+            f"upd{t} AS (SELECT cid, i, CAST(floor(CAST(sum(x) AS DOUBLE)"
+            f" / count(*)) AS BIGINT) AS cx FROM comp{t} GROUP BY cid, i)")
+        parts.append(
+            f"cents{t + 1} AS (SELECT cid, list(cx ORDER BY i) AS cv"
+            f" FROM upd{t} GROUP BY cid)")
+    return ", ".join(parts)
+
+
+def sql_ann_ivf_cells(k: int = 8, iters: int = 2) -> str:
+    """Oracle for annops.ivf_cells: the final inverted-file assignment."""
+    return (f"WITH {_ivf_prefix(k, iters)} "
+            f"SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM a{iters}")
+
+
+def sql_ann_ivf_topk(n_probes: int = 10, topk: int = 10, k: int = 8,
+                     iters: int = 2, nprobe: int = 2) -> str:
+    """Oracle for annops.ivf_topk: probe the nprobe nearest cells, exact
+    integer dot product over their members only."""
+    sqp = ("list_sum(list_transform(range(1, 65),"
+           " i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])))")
+    return (
+        f"WITH {_ivf_prefix(k, iters)}, "
+        "pc AS (SELECT qid, cid, v AS pv FROM ("
+        f"  SELECT q.vec_id AS qid, c.cid, q.v, {sqp} AS dist,"
+        "   row_number() OVER (PARTITION BY q.vec_id"
+        "     ORDER BY dist, cid) AS rn"
+        f"  FROM qv q CROSS JOIN cents{iters} c"
+        f"  WHERE q.vec_id < {n_probes}) WHERE rn <= {nprobe}), "
+        f"scored AS (SELECT pc.qid, m.vec_id,"
+        " CAST((SELECT sum(u.a * u.b) FROM (SELECT unnest(mv.v) AS a,"
+        " unnest(pc.pv) AS b) u) AS BIGINT) AS score_q"
+        f" FROM a{iters} m JOIN pc USING (cid)"
+        " JOIN qv mv ON mv.vec_id = m.vec_id"
+        " WHERE m.vec_id <> pc.qid) "
+        "SELECT qid, CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, vec_id) - 1 AS BIGINT) AS rank,"
+        " vec_id, score_q FROM scored"
+        f" QUALIFY rank < {topk}")
+
+
 def sql_ann_cosine_topk(n_probes: int = 10, k: int = 10) -> str:
     """Rank-only oracle for the float cosine path (see q_ann_cosine_topk:
     the cos VALUE is fp-order dependent, the ranking is stable)."""

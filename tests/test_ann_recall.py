@@ -67,3 +67,23 @@ def test_brute_topk_matches_cosine_ranking(spark):
     overlaps = [len(b[q] & c.get(q, set())) / len(b[q]) for q in b]
     mean_overlap = sum(overlaps) / len(overlaps)
     assert mean_overlap >= 0.6, f"mean top-9 overlap {mean_overlap:.2f}"
+
+
+def test_ivf_topk_recall_on_planted_clusters(spark):
+    """IVF cells should put a planted cluster in one (or few) cells; with
+    nprobe=2 a probe must recover most of its true neighbors."""
+    per = 10
+    emb = _clustered_emb(spark, per_cluster=per)
+    k = per - 1
+    probes = 10
+    brute = annops.brute_topk(emb, n_probes=probes, k=k).collect()
+    ivf = annops.ivf_topk(emb, n_probes=probes, topk=k).collect()
+    exact, got = {}, {}
+    for r in brute:
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in ivf:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q])
+               for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"IVF mean recall {mean_recall:.2f}"
