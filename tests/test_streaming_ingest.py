@@ -1,0 +1,49 @@
+"""Streaming index ingestion: postings log via Structured Streaming +
+exact batch compaction — compaction output must be BYTE-IDENTICAL to a
+from-scratch batch build of the same documents."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from candidategeneration_spark.build import build_index  # noqa: E402
+from candidategeneration_spark.streaming import ingest  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+def _seg_map(segments):
+    return {r["term"]: (r["df"], bytes(r["did_blob"]), bytes(r["score_blob"]))
+            for r in segments.collect()}
+
+
+def test_stream_ingest_compact_equals_batch_build(spark, tmp_path):
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "arrivals")
+    log = str(tmp_path / "postings_log")
+    ckpt = str(tmp_path / "ckpt")
+    # three arrival chunks -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        docs.where(docs.doc_id % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    stream = ingest.read_docs_stream(spark, src, max_files=1)
+    q = ingest.postings_sink(ingest.stream_postings(stream), log, ckpt)
+    q.awaitTermination(120)
+
+    seg_stream, stats_stream = ingest.compact_index(spark, log)
+    seg_batch, stats_batch = build_index(docs, dbigram_distance=None)
+    assert stats_stream == stats_batch
+    assert _seg_map(seg_stream) == _seg_map(seg_batch)
+
+    # exactly-once: restarting against the same checkpoint with no new
+    # arrivals must not grow the log
+    n0 = spark.read.parquet(log).count()
+    q2 = ingest.postings_sink(
+        ingest.stream_postings(ingest.read_docs_stream(spark, src,
+                                                       max_files=1)),
+        log, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(log).count() == n0
