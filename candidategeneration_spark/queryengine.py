@@ -380,7 +380,8 @@ _BC_SEGMENTS: dict[int, dict[str, _CachingSegment]] = {}
 
 def _query_group(pdf: pd.DataFrame, k: int, use_wand) -> pd.DataFrame:
     qid = int(pdf["qid"].iloc[0])
-    segs = [segment_from_row(row) for _, row in pdf.iterrows()]
+    segs = [segment_from_row(row._asdict())
+            for row in pdf.itertuples(index=False)]
     fn = _kernel(use_wand)
     dids, scs = fn(segs, k)
     n = dids.shape[0]
@@ -434,14 +435,26 @@ class PreparedIndex:
         self.bc = bc
 
 
+MAX_PREPARED_SEGMENTS = 2_000_000
+
+
 def prepare_index(segments: DataFrame,
-                  terms: list[str] | None = None) -> PreparedIndex:
+                  terms: list[str] | None = None,
+                  max_segments: int = MAX_PREPARED_SEGMENTS) -> PreparedIndex:
     """Collect + broadcast the segments for ``terms`` (None = all — only
-    for small indexes)."""
+    for small indexes; guarded by ``max_segments``: a 10^12-file dictionary
+    collected to the driver is an OOM, use ``terms`` or the join path)."""
     from pyspark.sql import SparkSession  # noqa: F401
     spark = segments.sparkSession
     seg = segments if terms is None else \
         segments.where(F.col("term").isin(sorted(set(terms))))
+    if terms is None:
+        n = seg.count()
+        if n > max_segments:
+            raise ValueError(
+                f"prepare_index(terms=None) would collect {n} segments to "
+                f"the driver (> {max_segments}); pass the query term set "
+                "or use wand_topk(mode='join')")
     rows = seg.collect()
     payload = [(r["term"], {f: r[f] for f in
                             ("df", "did_blob", "score_blob", "tf_blob",
