@@ -209,6 +209,20 @@ def topk_bmwand(segments: list[Segment], k: int):
         return np.empty(0, np.int64), np.empty(0, np.int64)
     heap: list[tuple[int, int]] = []  # (score, -doc_id) min-heap of top-k
     threshold = -(1 << 62)
+    # SAFE threshold priming (the exact form of the reference's
+    # sampled-quantile threshold, InvertedIndex.java:500-512 / O7): a list
+    # with >= k blocks contains >= k DISTINCT docs scoring >= its k-th
+    # largest block_max, so for a SINGLE-list query the final top-k
+    # threshold is >= that value — pure metadata, sound lower bound, and
+    # pruning below it is valid even before the heap fills (>= k better
+    # docs provably exist). Restricted to single-list queries: with more
+    # lists a doc's total can drop BELOW its one-list score (unsmoothed
+    # IDF → negative contributions), which would break the bound.
+    prime = -(1 << 62)
+    if len(cursors) == 1:
+        bm = cursors[0].seg.block_max
+        if bm.shape[0] >= k:
+            prime = int(np.partition(bm, bm.shape[0] - k)[bm.shape[0] - k])
 
     while True:
         live = [c for c in cursors if not c.exhausted]
@@ -218,11 +232,18 @@ def topk_bmwand(segments: list[Segment], k: int):
         # pivot: first list where the cumulative safe upper bound could
         # still reach the threshold. Pruning is strict (>=) so tied scores
         # are always evaluated (doc_id tie-break must stay exact).
+        # effective threshold: the heap's k-th score once full, else the
+        # prime (sound lower bound on the final threshold; -inf without
+        # one) — pruning against either is exact
+        eff_threshold = threshold if threshold > prime else prime
         maxes: list[int] = []
         pivot = -1
         for i, c in enumerate(live):
             maxes.append(c.max_score)
-            if len(heap) < k or _safe_bound(maxes) >= threshold:
+            if len(heap) < k and prime == -(1 << 62):
+                pivot = i
+                break
+            if _safe_bound(maxes) >= eff_threshold:
                 pivot = i
                 break
         if pivot < 0:
@@ -236,7 +257,7 @@ def topk_bmwand(segments: list[Segment], k: int):
         # contain pivot_did in each list (metadata only, no decode)
         bm_sum = _safe_bound(
             [c.block_max_for(pivot_did) for c in live[: pivot + 1]])
-        if len(heap) == k and bm_sum < threshold:
+        if bm_sum < eff_threshold:
             # No doc in [pivot_did, boundary] can make top-k: every list's
             # covering block ends at >= boundary, so scores there are bounded
             # by bm_sum. Jump past the smallest block boundary — the
@@ -312,7 +333,9 @@ def topk_bmwand(segments: list[Segment], k: int):
 # cannot prune and pay pure overhead (0.2-0.4x) — exhaustive wins there.
 WAND_STEP_FACTOR = 50
 WAND_MIN_TOTAL = 100_000
-WAND_SINGLE_MIN = 25_000
+# single-list crossover re-measured with threshold priming (the prime
+# turns pruning on from iteration 1): breakeven ~12k postings
+WAND_SINGLE_MIN = 12_000
 
 
 def topk_auto(segments: list[Segment], k: int):
