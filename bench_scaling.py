@@ -41,6 +41,8 @@ N_QUERIES = 10_000
 # measure contention, not the engine's scaling.
 CORES_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 CORES_4N = 4 * CORES_N
+# more reps = better odds one rep lands between neighbor-noise bursts
+N_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 
 def worker_dbigram(master: str, cores: int) -> None:
@@ -107,7 +109,7 @@ def worker(master: str, cores: int) -> None:
 
     reps = []
     phases = {}
-    for rep in range(3):
+    for rep in range(N_REPS):
         spark.catalog.clearCache()
         docs = spark.read.parquet(CORPUS).repartition(cores * 4).cache()
         docs.count()
