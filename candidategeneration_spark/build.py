@@ -123,20 +123,26 @@ def _dbigram_frame(doc_ids, toks, unigram_tf: pd.DataFrame,
         n = len(ts)
         if n < 2:
             continue
-        arr = np.asarray(ts, dtype=object)
+        # doc-local integer ids (same trick as _pair_rows_scored): window +
+        # dedup on int64 keys, strings only for the deduped output
+        uniq_t, tok_ids = np.unique(np.asarray(ts, dtype=str),
+                                    return_inverse=True)
+        k = uniq_t.shape[0]
         lefts, rights = [], []
         for s in range(1, min(distance, n - 1) + 1):
-            lefts.append(arr[:-s])
-            rights.append(arr[s:])
+            lefts.append(tok_ids[:-s])
+            rights.append(tok_ids[s:])
         a = np.concatenate(lefts)
         b = np.concatenate(rights)
         neq = a != b
         a, b = a[neq], b[neq]
-        lo = np.where(a < b, a, b)
-        hi = np.where(a < b, b, a)
-        pairs = np.unique(
-            np.char.add(np.char.add(lo.astype(str), PAIR_SEP),
-                        hi.astype(str)))
+        if a.shape[0] == 0:
+            continue
+        keys = np.unique(np.minimum(a, b) * k + np.maximum(a, b))
+        lo_t = uniq_t[keys // k].tolist()
+        hi_t = uniq_t[keys % k].tolist()
+        pairs = np.fromiter((x + PAIR_SEP + y for x, y in zip(lo_t, hi_t)),
+                            dtype=object, count=keys.shape[0])
         out_pairs.append(pairs)
         out_docs.append(np.full(len(pairs), did, dtype=np.int64))
     if not out_pairs:
