@@ -157,7 +157,7 @@ def sql_bm25_topk(k: int = TOPK) -> str:
     return (
         f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_query_values()}, "
         "qscore AS ("
-        "  SELECT q.qid, s.doc_id, sum(s.score_q) AS score_q"
+        "  SELECT q.qid, s.doc_id, CAST(sum(s.score_q) AS BIGINT) AS score_q"
         "  FROM queries q JOIN scored s ON s.term = q.term"
         "  GROUP BY q.qid, s.doc_id) "
         "SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score_q FROM ("
