@@ -75,7 +75,12 @@ def main() -> None:
         n_post_bi / timings["build_dbigram"], 1)
 
     seg_uni, _ = build_index(docs, dbigram_distance=None)
-    seg_uni = seg_uni.cache()
+    # compact the serving copy: the build emits 4x-cores term-hash
+    # partitions (right for encode parallelism + skew smoothing at scale);
+    # serving an sf-sized index from 128 tiny cached partitions just adds
+    # per-batch task-scheduling overhead (measured ~0.2-0.9s on 200-query
+    # batches). A real deployment compacts the index before loading it.
+    seg_uni = seg_uni.coalesce(max(8, int(CPUS))).cache()
     seg_uni.count()
 
     qrows = []
@@ -85,8 +90,10 @@ def main() -> None:
     qdf = spark.createDataFrame(qrows, "qid long, terms array<string>")
     # warm the query path once (Arrow worker spin-up is not steady-state)
     wand_topk(seg_uni, qdf.limit(4), k=10).count()
+    # min of 4 (vs 2 for the builds): the batch is ~1.5s so extra reps are
+    # cheap, and this host's noise bursts are comparable to the batch itself
     qbest, n_res = None, 0
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         n_res = wand_topk(seg_uni, qdf, k=10).count()
         el = time.time() - t0

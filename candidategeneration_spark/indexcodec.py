@@ -249,11 +249,12 @@ class Segment:
     def n_blocks(self) -> int:
         return int(self.block_last.shape[0])
 
-    def decode_block(self, i: int):
-        """Decode block ``i`` → (doc_ids int64, scores int64, tfs int64)."""
+    def decode_block_ds(self, i: int):
+        """Decode block ``i`` → (doc_ids int64, scores int64), skipping the
+        tf stream — the BM25 query path never reads tfs (scores are
+        pre-quantized), so decoding them was a third of kernel decode cost."""
         d0, d1 = self.did_off[i], self.did_off[i + 1]
         s0, s1 = self.score_off[i], self.score_off[i + 1]
-        t0, t1 = self.tf_off[i], self.tf_off[i + 1]
         gaps = vbyte_decode(self.did_blob[d0:d1])
         dids = np.cumsum(gaps.astype(np.int64))
         if i > 0:
@@ -261,8 +262,26 @@ class Segment:
             # docID so every block decodes independently (random access).
             dids += self.block_last[i - 1]
         scores = zigzag_decode(vbyte_decode(self.score_blob[s0:s1]))
+        return dids, scores
+
+    def decode_block(self, i: int):
+        """Decode block ``i`` → (doc_ids int64, scores int64, tfs int64)."""
+        dids, scores = self.decode_block_ds(i)
+        t0, t1 = self.tf_off[i], self.tf_off[i + 1]
         tfs = vbyte_decode(self.tf_blob[t0:t1]).astype(np.int64)
         return dids, scores, tfs
+
+    def decode_ds(self):
+        """Decode the full list → (doc_ids, scores); tf stream untouched.
+
+        The exhaustive query kernel's hot path — same single-cumsum trick as
+        :meth:`decode_all` minus the unused tf decode."""
+        if self.n_blocks == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy()
+        dids = np.cumsum(vbyte_decode(self.did_blob).astype(np.int64))
+        scores = zigzag_decode(vbyte_decode(self.score_blob))
+        return dids, scores
 
     def decode_all(self):
         """Decode the full list → (doc_ids, scores, tfs).
@@ -275,8 +294,7 @@ class Segment:
         if self.n_blocks == 0:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        dids = np.cumsum(vbyte_decode(self.did_blob).astype(np.int64))
-        scores = zigzag_decode(vbyte_decode(self.score_blob))
+        dids, scores = self.decode_ds()
         tfs = vbyte_decode(self.tf_blob).astype(np.int64)
         return dids, scores, tfs
 

@@ -50,11 +50,38 @@ RESULT_SCHEMA = StructType([
 
 
 def _final_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
-    """Exact top-k with (score desc, doc_id asc) tie-break."""
-    if doc_ids.shape[0] == 0:
+    """Exact top-k with (score desc, doc_id asc) tie-break.
+
+    Selection before sort: ``np.partition`` finds the k-th largest score in
+    O(n), the full exact lexsort then only runs on the ≥k-th band (ties at
+    the boundary included, so the result is identical to sorting everything
+    — a full lexsort of all candidates was ~20% of short-query kernel time).
+    """
+    n = doc_ids.shape[0]
+    if n == 0:
         return doc_ids, scores
+    if n > 4 * k:
+        kth = np.partition(scores, n - k)[n - k]
+        keep = scores >= kth
+        doc_ids, scores = doc_ids[keep], scores[keep]
     order = np.lexsort((doc_ids, -scores))[:k]
     return doc_ids[order], scores[order]
+
+
+def _group_sum(dids: np.ndarray, scs: np.ndarray):
+    """Per-doc score sums → (unique doc_ids sorted asc, int64 sums).
+
+    Sort + ``reduceat`` instead of ``np.unique(return_inverse)`` +
+    ``np.add.at``: same result, no inverse-map build and no scatter-add
+    (both showed up hot in the short-query kernel profile)."""
+    order = np.argsort(dids)
+    d = dids[order]
+    s = scs[order]
+    flags = np.empty(d.shape[0], dtype=bool)
+    flags[0] = True
+    np.not_equal(d[1:], d[:-1], out=flags[1:])
+    starts = np.flatnonzero(flags)
+    return d[starts], np.add.reduceat(s, starts)
 
 
 def topk_exhaustive(segments: list[Segment], k: int):
@@ -64,12 +91,14 @@ def topk_exhaustive(segments: list[Segment], k: int):
     must beat by actually skipping work (see :func:`topk_auto`)."""
     if not segments:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    decoded = [s.decode_all() for s in segments]
+    if len(segments) == 1:
+        # a single list is already sorted and per-doc unique — no group-sum
+        dids, scs = segments[0].decode_ds()
+        return _final_topk(dids, scs, k)
+    decoded = [s.decode_ds() for s in segments]
     dids = np.concatenate([d[0] for d in decoded])
     scs = np.concatenate([d[1] for d in decoded])
-    uniq, inv = np.unique(dids, return_inverse=True)
-    sums = np.zeros(uniq.shape[0], dtype=np.int64)
-    np.add.at(sums, inv, scs)
+    uniq, sums = _group_sum(dids, scs)
     return _final_topk(uniq, sums, k)
 
 
@@ -116,7 +145,7 @@ class _Cursor:
     def decode_current(self) -> None:
         """Materialize the current block (window evaluation only)."""
         if self.dids is None:
-            d, s, _ = self.seg.decode_block(self.bi)
+            d, s = self.seg.decode_block_ds(self.bi)
             self.dids, self.scores = d, s
             # covering-block invariant: block_last[bi] >= lb, so a posting
             # >= lb exists in this block and pos is in range
@@ -296,9 +325,7 @@ def topk_bmwand(segments: list[Segment], k: int):
         if cand_d:
             dids = np.concatenate(cand_d)
             scs = np.concatenate(cand_s)
-            uniq, inv = np.unique(dids, return_inverse=True)
-            sums = np.zeros(uniq.shape[0], dtype=np.int64)
-            np.add.at(sums, inv, scs)
+            uniq, sums = _group_sum(dids, scs)
             # push best-first; once an item can't beat the heap min, none
             # of the remaining (sorted) candidates can either
             for i in np.lexsort((uniq, -sums)):
@@ -350,10 +377,11 @@ def topk_auto(segments: list[Segment], k: int):
         if total >= WAND_SINGLE_MIN:
             return topk_bmwand(segments, k)
         return topk_exhaustive(segments, k)
-    positive = all(int(np.max(s.block_max)) > 0
-                   for s in segments if s.n_blocks > 0)
-    if positive and total >= WAND_MIN_TOTAL \
-            and min(dfs) * WAND_STEP_FACTOR < total:
+    # cheap integer tests first; the per-segment block_max scan (the only
+    # O(blocks) probe) runs only when the size shape already favors WAND
+    if total >= WAND_MIN_TOTAL and min(dfs) * WAND_STEP_FACTOR < total \
+            and all(int(s.block_max.max()) > 0
+                    for s in segments if s.n_blocks > 0):
         return topk_bmwand(segments, k)
     return topk_exhaustive(segments, k)
 
@@ -365,32 +393,43 @@ def _kernel(use_wand) -> "callable":
 
 
 class _CachingSegment:
-    """Segment wrapper memoizing block decodes — queries sharing a term in
-    the same worker decode each block once (the reference keeps loaded
-    top-layer arrays resident across queries, algo_toplayer.cpp:393-474)."""
+    """Segment wrapper memoizing the query-path decodes — queries sharing a
+    term in the same worker decode each block once (the reference keeps
+    loaded top-layer arrays resident across queries,
+    algo_toplayer.cpp:393-474). Hot metadata (df, block arrays) is copied to
+    real attributes: ``__getattr__`` indirection on every cursor metadata
+    probe was measurable in serving p50."""
 
-    __slots__ = ("seg", "_blocks")
+    __slots__ = ("seg", "_blocks", "_ds",
+                 "df", "block_last", "block_max", "block_n")
 
     def __init__(self, seg: Segment):
         self.seg = seg
         self._blocks: dict[int, tuple] = {}
+        self._ds = None
+        self.df = seg.df
+        self.block_last = seg.block_last
+        self.block_max = seg.block_max
+        self.block_n = seg.block_n
 
     def __getattr__(self, name):
         return getattr(self.seg, name)
 
-    def decode_block(self, i: int):
+    @property
+    def n_blocks(self) -> int:
+        return int(self.block_last.shape[0])
+
+    def decode_block_ds(self, i: int):
         b = self._blocks.get(i)
         if b is None:
-            b = self.seg.decode_block(i)
+            b = self.seg.decode_block_ds(i)
             self._blocks[i] = b
         return b
 
-    def decode_all(self):
-        parts = [self.decode_block(i) for i in range(self.seg.n_blocks)]
-        if not parts:
-            z = np.empty(0, dtype=np.int64)
-            return z, z.copy(), z.copy()
-        return tuple(np.concatenate(cols) for cols in zip(*parts))
+    def decode_ds(self):
+        if self._ds is None:
+            self._ds = self.seg.decode_ds()
+        return self._ds
 
     def first_block_geq(self, did: int) -> int:
         return self.seg.first_block_geq(did)
@@ -438,10 +477,15 @@ def wand_topk(segments: DataFrame, queries: DataFrame, k: int = 10,
     ensure_on_executors(segments.sparkSession)
     if mode == "broadcast":
         return _wand_topk_broadcast(segments, queries, k, use_wand)
+    # per-query term dedup BEFORE the explode (a repeated query term must
+    # not double-count its list): array_distinct is a map-side expression,
+    # where the old (qid, term).distinct() paid a whole extra shuffle stage
+    # per batch. Contract: one row per qid (duplicated qids would merge in
+    # the groupBy below under either formulation).
     qterms = queries.select(
         F.col("qid").cast("long").alias("qid"),
-        F.explode("terms").alias("term"),
-    ).distinct()
+        F.explode(F.array_distinct("terms")).alias("term"),
+    )
     matched = segments.join(F.broadcast(qterms), "term")
     return matched.groupBy("qid").applyInPandas(
         lambda pdf: _query_group(pdf, k, use_wand), schema=RESULT_SCHEMA)
