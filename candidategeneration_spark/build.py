@@ -220,46 +220,30 @@ def score_postings(postings: DataFrame, n_docs: int, avgdl: int) -> DataFrame:
     on, so AQE/Catalyst reuses the exchange and the pipeline pays one
     logical repartition by term, not two.
 
-    For pair terms (containing PAIR_SEP) the score is the *sum of the two
-    unigram scores in that doc* (``InvertedIndex.java:302-307``) — computed
-    by joining each side's unigram score, all in quantized int64 space.
-
-    NOTE (round 2): the pair branch below shuffles the pair table twice and
-    is kept only for callers that already hold mixed postings; the build
-    pipeline scores pairs doc-locally via :func:`build_pair_postings`
-    (zero joins against the pair table) — use that for anything at scale.
+    UNIGRAMS ONLY. The round-1 pair branch here (join the pair table twice
+    against scored unigrams) was the build's biggest scale-killer and is
+    deleted — pair terms must be scored doc-locally by
+    :func:`build_pair_postings` (the pair table is born scored and never
+    joins anything). Passing pair rows raises rather than silently taking
+    a two-shuffle path no caller should want.
     """
-    uni = postings.where(~F.col("term").contains(PAIR_SEP))
+    pairs = postings.where(F.col("term").contains(PAIR_SEP))
+    if not pairs.isEmpty():
+        raise ValueError(
+            "score_postings scores unigrams only; score pair terms "
+            "doc-locally with build_pair_postings (the legacy pair-join "
+            "path was removed — it shuffled the pair table twice)")
     # idf via glibc-log pandas UDF on the tiny per-term table (bm25.idf_col
     # determinism note); the per-posting arithmetic below stays in codegen.
-    term_df = uni.groupBy("term").agg(F.count("*").alias("df")) \
-                 .withColumn("__idf", idf_col(F.col("df"), n_docs))
-    scored_uni = (
-        uni.join(term_df, "term")
-           .withColumn("score_q", bm25_quantized_col(
-               F.col("tf"), F.col("maxtf"), F.col("df"), F.col("doc_len"),
-               n_docs, avgdl, idf=F.col("__idf")))
-           .drop("__idf")
+    term_df = postings.groupBy("term").agg(F.count("*").alias("df")) \
+                      .withColumn("__idf", idf_col(F.col("df"), n_docs))
+    return (
+        postings.join(term_df, "term")
+                .withColumn("score_q", bm25_quantized_col(
+                    F.col("tf"), F.col("maxtf"), F.col("df"),
+                    F.col("doc_len"), n_docs, avgdl, idf=F.col("__idf")))
+                .drop("__idf")
     )
-    pairs = postings.where(F.col("term").contains(PAIR_SEP))
-    if pairs.isEmpty():
-        return scored_uni
-    us1 = scored_uni.select(F.col("term").alias("t1"), "doc_id",
-                            F.col("score_q").alias("s1"))
-    us2 = scored_uni.select(F.col("term").alias("t2"), "doc_id",
-                            F.col("score_q").alias("s2"))
-    split = F.split(F.col("term"), PAIR_SEP)
-    p = (pairs.withColumn("t1", split.getItem(0))
-              .withColumn("t2", split.getItem(1))
-              .join(us1, ["t1", "doc_id"])
-              .join(us2, ["t2", "doc_id"]))
-    pair_df = pairs.groupBy("term").agg(F.count("*").alias("df"))
-    scored_pairs = (
-        p.join(pair_df, "term")
-         .withColumn("score_q", (F.col("s1") + F.col("s2")).cast("long"))
-         .select("term", "doc_id", "tf", "doc_len", "maxtf", "df", "score_q")
-    )
-    return scored_uni.unionByName(scored_pairs)
 
 
 PAIR_SCORED_SCHEMA = StructType([
@@ -568,6 +552,25 @@ def build_segments_skew_aware(scored: DataFrame, hot_df_threshold: int,
     return out
 
 
+def pair_segment_input(scored_uni: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Union scored unigrams with doc-locally scored pairs as segment-build
+    input — THE single definition of the stored pair format (X2 contract).
+
+    Pair tf is meaningless (always 1 — the reference scorer never reads it,
+    ``InvertedIndex.java:302-307``), so the tf stream carries zigzag(s2)
+    instead: a stored pair segment yields the separate (did, s1, s2)
+    component streams via s2 = unzigzag(tf), s1 = score - s2
+    (``algo_toplayer.cpp:477-564``, ``BigramIndex.java:44-85``). zigzag
+    keeps negative components 1-2 VByte bytes. Every build entry point
+    (build_index, build_index_skew_aware, checkpoints.build_index_resumable)
+    MUST go through here — a path that unioned raw tf=1 instead would store
+    segments that decode s2=-1 for every pair.
+    """
+    s2z = F.expr("(s2 << 1) ^ (s2 >> 63)").cast("long").alias("tf")
+    return scored_uni.select("term", "doc_id", "tf", "score_q") \
+        .unionByName(pairs.select("term", "doc_id", s2z, "score_q"))
+
+
 def build_index(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 dbigram_distance: int | None = DBIGRAM_DISTANCE,
@@ -615,14 +618,61 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
             scored = scored.persist()
         pairs = build_pair_postings(docs, scored, id_col, text_col,
                                     dbigram_distance, stopwords=stopwords)
-        # X2 parity in the STORED index: pair tf is meaningless (always 1 —
-        # the reference scorer never reads it), so the tf stream carries
-        # zigzag(s2) instead: a stored pair segment yields the separate
-        # (did, s1, s2) component streams via s1 = score - s2
-        # (``algo_toplayer.cpp:477-564``, ``BigramIndex.java:44-85``).
-        # zigzag keeps negative components 1-2 VByte bytes.
-        s2z = F.expr("(s2 << 1) ^ (s2 >> 63)").cast("long").alias("tf")
-        seg_in = scored.select("term", "doc_id", "tf", "score_q") \
-            .unionByName(pairs.select("term", "doc_id", s2z, "score_q"))
-        return build_segments(seg_in, salt_buckets), stats
+        return build_segments(pair_segment_input(scored, pairs),
+                              salt_buckets), stats
     return build_segments(scored, salt_buckets), stats
+
+
+def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           dbigram_distance: int | None = None,
+                           salt_buckets: int = 16,
+                           stopwords=None,
+                           persist: bool = True) -> tuple[DataFrame, dict]:
+    """The 100 TB CLI build: doc-local pair scoring + skew-split encode.
+
+    Same segments, byte-identical, as :func:`build_index` (asserted in
+    tests) — but hot lists (df > threshold) take the two-stage salted
+    route so no single task ever owns a whole ``def``-grade list.
+
+    Hot-PAIR detection needs no pair-df aggregation: a pair's df is
+    bounded by min(df(t1), df(t2)), so only pairs whose BOTH components
+    are hot unigrams can possibly be hot. Those route to the salted path
+    (conservatively — a routed-but-cold pair is still exact, just takes
+    the two-stage encode); everything else is provably cold. The hot-term
+    set is tiny by definition (df > threshold bounds its size by
+    total_postings/threshold), so the routing predicate is a broadcast-
+    style literal set, not a join against the pair table — the pair
+    table, the build's largest intermediate, still joins NOTHING.
+    """
+    postings = build_postings(docs, id_col, text_col, None,
+                              stopwords=stopwords)
+    if persist:
+        postings = postings.persist()
+    stats = global_stats_from_postings(postings, docs.count())
+    scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
+    if not dbigram_distance:
+        return build_segments_skew_aware(scored, hot_df_threshold,
+                                         salt_buckets), stats
+    if persist:
+        scored = scored.persist()
+    pairs = build_pair_postings(docs, scored, id_col, text_col,
+                                dbigram_distance, stopwords=stopwords)
+    hot_terms = [r["term"] for r in
+                 scored.where(F.col("df") > hot_df_threshold)
+                       .select("term").distinct().collect()]
+    uni_rows = scored.select("term", "doc_id", "tf", "score_q", "df")
+    s2z = F.expr("(s2 << 1) ^ (s2 >> 63)").cast("long").alias("tf")
+    split = F.split(F.col("term"), PAIR_SEP)
+    pair_hot = (split.getItem(0).isin(hot_terms)
+                & split.getItem(1).isin(hot_terms)) if hot_terms \
+        else F.lit(False)
+    # df column on pair rows only routes hot/cold (never stored): the df
+    # bound min(df1,df2) is represented as threshold±1 sentinels
+    pair_rows = pairs.select(
+        "term", "doc_id", s2z, "score_q",
+        F.when(pair_hot, F.lit(hot_df_threshold + 1))
+         .otherwise(F.lit(0)).cast("long").alias("df"))
+    seg_in = uni_rows.unionByName(pair_rows)
+    return build_segments_skew_aware(seg_in, hot_df_threshold,
+                                     salt_buckets), stats

@@ -55,6 +55,13 @@ class Checkpointer:
         """
         out, manifest_path = self._paths(name)
         if self.is_done(name):
+            stored = (self.manifest(name) or {}).get("params") or {}
+            if params and stored != params:
+                raise ValueError(
+                    f"checkpoint {name!r} at {out} was built with params "
+                    f"{stored}, but this run asks for {params}; refusing "
+                    "to silently reuse it — delete the checkpoint or use "
+                    "a different --resume-root")
             return self.spark.read.parquet(out), True
         t0 = time.time()
         df = builder()
@@ -111,7 +118,8 @@ def build_index_resumable(docs: DataFrame, root: str,
                           id_col: str | None = None,
                           dbigram_distance: int | None = 5,
                           salt_buckets: int = 0,
-                          n_store_buckets: int = 64):
+                          n_store_buckets: int = 64,
+                          stopwords=None):
     """Checkpointed end-to-end build: postings → scored [→ pairs] → segments.
 
     Each phase is an idempotent Parquet output; re-running after a crash
@@ -123,7 +131,7 @@ def build_index_resumable(docs: DataFrame, root: str,
     ``id_col`` defaults to ``doc_id`` if present, else the first column —
     same detection as the CLI build paths."""
     from .build import build_pair_postings, build_postings, build_segments, \
-        global_stats, score_postings
+        global_stats, pair_segment_input, score_postings
     from .sources.segmentstore import bucket_of
     from pyspark.sql import functions as F
 
@@ -132,18 +140,25 @@ def build_index_resumable(docs: DataFrame, root: str,
     text_col = _text_col(docs)
     if id_col is None:
         id_col = "doc_id" if "doc_id" in docs.columns else docs.columns[0]
+    # stopwords participate in phase params: a resume against checkpoints
+    # built with a different stopword set must fail loudly, not silently
+    # reuse postings that were tokenized under the other contract
+    sw_key = (sorted(stopwords)[:8] + [f"n={len(stopwords)}"]) \
+        if stopwords else None
     stats_df, _ = cp.phase(
         "stats",
         lambda: spark.createDataFrame(
-            [tuple(global_stats(docs, text_col).values())],
-            "n_docs long, total_tokens long, avgdl long"))
+            [tuple(global_stats(docs, text_col, stopwords).values())],
+            "n_docs long, total_tokens long, avgdl long"),
+        params={"stopwords": sw_key})
     srow = stats_df.collect()[0]
     stats = {"n_docs": srow["n_docs"], "total_tokens": srow["total_tokens"],
              "avgdl": srow["avgdl"]}
     postings, _ = cp.phase(
         "postings",
-        lambda: build_postings(docs, id_col=id_col, text_col=text_col),
-        params={"id_col": id_col})
+        lambda: build_postings(docs, id_col=id_col, text_col=text_col,
+                               stopwords=stopwords),
+        params={"id_col": id_col, "stopwords": sw_key})
     scored, _ = cp.phase(
         "scored",
         lambda: score_postings(postings, stats["n_docs"], stats["avgdl"]),
@@ -152,11 +167,14 @@ def build_index_resumable(docs: DataFrame, root: str,
         pairs, _ = cp.phase(
             "pairs",
             lambda: build_pair_postings(docs, scored, id_col, text_col,
-                                        dbigram_distance),
+                                        dbigram_distance,
+                                        stopwords=stopwords),
             inputs=["scored"],
-            params={"dbigram_distance": dbigram_distance})
-        seg_in = scored.select("term", "doc_id", "tf", "score_q") \
-            .unionByName(pairs.select("term", "doc_id", "tf", "score_q"))
+            params={"dbigram_distance": dbigram_distance,
+                    "stopwords": sw_key})
+        # shared X2 stored format (zigzag(s2) in the tf stream): a resumed
+        # build's segments are byte-identical to build_index's
+        seg_in = pair_segment_input(scored, pairs)
     else:
         seg_in = scored
     segments, _ = cp.phase(

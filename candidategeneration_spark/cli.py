@@ -41,8 +41,7 @@ def cmd_zip(args) -> int:
 
 
 def cmd_build(args) -> int:
-    from .build import (build_index, build_postings, build_segments_skew_aware,
-                        global_stats_from_postings, score_postings)
+    from .build import build_index, build_index_skew_aware
     from .sources.segmentstore import save_segments
     spark = _spark(args)
     docs = spark.read.parquet(args.corpus)
@@ -52,16 +51,17 @@ def cmd_build(args) -> int:
         from .checkpoints import build_index_resumable
         segments, stats, _cp = build_index_resumable(
             docs, args.resume_root, id_col=id_col,
-            dbigram_distance=args.dbigram or None)
+            dbigram_distance=args.dbigram or None,
+            stopwords=_stopwords(args))
         save_segments(segments.drop("bucket"), args.out,
                       n_buckets=args.buckets)
     elif args.hot_df:
-        postings = build_postings(docs, id_col, text_col,
-                                  args.dbigram or None,
-                                  stopwords=_stopwords(args)).persist()
-        stats = global_stats_from_postings(postings, docs.count())
-        scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
-        segments = build_segments_skew_aware(scored, args.hot_df)
+        # doc-local pair scoring + skew-split encode: the pair table never
+        # joins anything (round-2's scale fix applies to the CLI path too)
+        segments, stats = build_index_skew_aware(
+            docs, args.hot_df, id_col, text_col,
+            dbigram_distance=args.dbigram or None,
+            stopwords=_stopwords(args))
         save_segments(segments, args.out, n_buckets=args.buckets)
     else:
         segments, stats = build_index(docs, id_col, text_col,

@@ -98,10 +98,10 @@ def quality_matrix_df(scored: DataFrame, golden_terms: DataFrame
     consumes it directly.
     """
     spark = scored.sparkSession
-    w = Window.partitionBy("term").orderBy(F.desc("score_q"), F.asc("doc_id"))
-    pos = scored.select(
-        "term", "doc_id", F.col("df").alias("list_len"),
-        (F.row_number().over(w) - 1).alias("pos"))
+    # skew-safe impact positions (no per-term global window — see
+    # posting_positions): a hot list never lands in one task
+    pos = posting_positions(scored).select(
+        "term", "doc_id", F.col("df").alias("list_len"), "pos")
     lenr = _ranges_df(spark, "lb", geometric_ranges(LEN_BASE, LEN_START))
     rankr = _ranges_df(spark, "rb", geometric_ranges(RANK_BASE, RANK_START))
     pos = (pos.join(F.broadcast(lenr),
@@ -120,13 +120,114 @@ def quality_matrix_df(scored: DataFrame, golden_terms: DataFrame
                      .alias("hits")))
 
 
-def posting_positions(scored: DataFrame) -> DataFrame:
-    """(term, doc_id, pos): impact order — score desc, doc_id asc tie-break
-    (the reference's in-list BM25-descending order, WWW.java:211-247)."""
-    w = Window.partitionBy("term").orderBy(F.desc("score_q"), F.asc("doc_id"))
-    return scored.select(
-        "term", "doc_id", "score_q",
-        (F.row_number().over(w) - 1).alias("pos"))
+def posting_positions(scored: DataFrame,
+                      num_partitions: int | None = None) -> DataFrame:
+    """input columns + ``pos``: 0-based impact-order rank within each term —
+    score desc, doc_id asc tie-break (the reference's in-list
+    BM25-descending order, WWW.java:211-247).
+
+    SKEW-SAFE (round 3): the old ``row_number().over(partitionBy(term))``
+    put a hot list (df ≈ N at 100× corpus scale) in ONE task. Same cure as
+    term_dictionary (textops.py:45-91): ``repartitionByRange`` on the full
+    impact order (term, score desc, doc_id) + per-partition sort, then a
+    two-job rank assignment — job 1 collects per-partition boundary-term
+    counts (≤ 2 tiny rows per partition: in a range-sorted layout only a
+    partition's FIRST term can continue from an earlier partition, so
+    offsets exist only for first terms), the driver prefix-sums them, job 2
+    tags rows with offset + local rank via ``mapInPandas``. Byte-identical
+    to the window version (asserted in tests) — the order is total, so
+    positions are independent of where the sampled range boundaries fall —
+    while no task ever holds more than its range slice of a hot list.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    spark = scored.sparkSession
+    sc = spark.sparkContext
+    if num_partitions is None:
+        num_partitions = sc.defaultParallelism * 4
+    order = [F.col("term").asc(), F.col("score_q").desc(),
+             F.col("doc_id").asc()]
+    # persist: the boundary job and the tag job must see the SAME sampled
+    # range boundaries
+    part = scored.repartitionByRange(num_partitions, *order) \
+                 .sortWithinPartitions(*order).persist()
+
+    def boundary(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        first_term, n_first = None, 0
+        tail_term, tail_n = None, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["term"].to_numpy()
+            if first_term is None:
+                first_term = t[0]
+            n_first += int((t == first_term).sum())
+            bt = t[-1]
+            if bt == tail_term:
+                # sorted: a batch whose last term equals the previous tail
+                # is entirely that term
+                tail_n += len(t)
+            else:
+                tail_term, tail_n = bt, int((t == bt).sum())
+        rows = []
+        if first_term is not None:
+            rows.append((pid, first_term, n_first, True))
+            if tail_term != first_term:
+                rows.append((pid, tail_term, tail_n, False))
+        yield pd.DataFrame(rows, columns=["pid", "term", "n", "first"])
+
+    meta = part.select("term").mapInPandas(
+        boundary, schema="pid int, term string, n long, first boolean") \
+        .collect()
+    # offset of partition p's first term = rows of that term in pids < p
+    by_term: dict[str, list[tuple[int, int]]] = {}
+    firsts: dict[int, str] = {}
+    for r in meta:
+        by_term.setdefault(r["term"], []).append((int(r["pid"]),
+                                                  int(r["n"])))
+        if r["first"]:
+            firsts[int(r["pid"])] = r["term"]
+    offsets: dict[int, tuple[str, int]] = {}
+    for pid, ft in firsts.items():
+        base = sum(n for (q, n) in by_term.get(ft, []) if q < pid)
+        if base:
+            offsets[pid] = (ft, base)
+    bc = sc.broadcast(offsets)
+    # fresh StructType: .add() would MUTATE part's live schema object
+    from pyspark.sql.types import StructField, StructType
+    out_schema = StructType(list(part.schema.fields)
+                            + [StructField("pos", LongType())])
+
+    def tag(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        ft, base = bc.value.get(pid, (None, 0))
+        prev_term, carry = None, 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            t = pdf["term"].to_numpy()
+            changes = np.r_[True, t[1:] != t[:-1]]
+            group_firsts = np.flatnonzero(changes)
+            gid = np.cumsum(changes.astype(np.int64)) - 1
+            local = np.arange(n, dtype=np.int64) - group_firsts[gid]
+            if prev_term is not None and t[0] == prev_term:
+                local[gid == 0] += carry
+            elif prev_term is None and ft is not None:
+                # the partition's first term continues from earlier
+                # partitions; later batches inherit the base via carry
+                local[t == ft] += base
+            out = pdf.copy()
+            out["pos"] = local
+            carry = int(local[-1]) + 1
+            prev_term = t[-1]
+            yield out
+
+    return part.mapInPandas(tag, schema=out_schema)
 
 
 def quality_matrix(scored: DataFrame, golden: DataFrame) -> pd.DataFrame:

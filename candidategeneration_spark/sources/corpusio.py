@@ -30,10 +30,11 @@ def with_doc_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Ensure a deterministic numeric id column (passthrough if present).
 
     ``xxhash64`` is a pure column function of the natural key — no window,
-    no zipWithIndex shuffle, identical on any partitioning. Collision odds
-    for 10^12 rows in a 64-bit space are ~3% (birthday bound) — callers at
-    that scale should verify with ``check_doc_id_unique`` and fall back to
-    a salted re-hash of the colliding keys.
+    no zipWithIndex shuffle, identical on any partitioning. At 10^12 rows
+    in a 64-bit space the birthday bound gives ~n²/2N ≈ 27,000 EXPECTED
+    collisions (probability ≈ 1, not a tail risk) — at that scale
+    ``check_doc_id_unique`` plus a salted re-hash of the colliding keys is
+    a REQUIRED build step, not an optional precaution.
     """
     if id_col in docs.columns:
         return docs

@@ -12,6 +12,9 @@ segment architecture expressed in Structured Streaming:
    file manifest commits atomically per micro-batch), so task retries
    can't duplicate postings. No scoring happens here — scores depend on
    GLOBAL stats (df, n_docs, avgdl), which a micro-batch cannot know.
+   A companion doc-id sidecar (:func:`docs_sink`) records every ingested
+   document — including token-less ones, which the postings log cannot
+   represent but which count toward n_docs/avgdl.
 
 2. **Compact** (:func:`compact_index`): a batch job reads the postings log
    at any point, computes exact global stats over everything ingested so
@@ -58,6 +61,30 @@ def stream_postings(docs_stream: DataFrame, id_col: str = "doc_id",
                           stopwords=stopwords)
 
 
+def docs_sink(docs_stream: DataFrame, doc_log_path: str, checkpoint: str,
+              id_col: str = "doc_id", available_now: bool = True):
+    """Append every ingested document's id to a doc log (exactly-once sink).
+
+    Token-less documents emit NO postings, so the postings log alone
+    under-counts n_docs — and the reference's global stats count EVERY doc
+    (``InvertedIndex.java:171``), so avgdl/idf (hence all scores) would
+    drift from a batch build of the same corpus. A second tiny stream over
+    the same source records each doc_id; :func:`compact_index` counts
+    distinct ids here. Only the id column leaves the source (pruned scan),
+    and the parquet streaming sink keeps the same exactly-once manifest
+    semantics as the postings log.
+    """
+    w = (docs_stream.selectExpr(f"cast({id_col} as long) as doc_id")
+         .writeStream
+         .format("parquet")
+         .option("path", doc_log_path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def postings_sink(postings_stream: DataFrame, log_path: str,
                   checkpoint: str, available_now: bool = True):
     """Append the postings stream to the Parquet log (exactly-once sink).
@@ -77,21 +104,32 @@ def postings_sink(postings_stream: DataFrame, log_path: str,
 
 
 def compact_index(spark: SparkSession, log_path: str,
-                  salt_buckets: int = 0) -> tuple[DataFrame, dict]:
+                  salt_buckets: int = 0,
+                  doc_log_path: str | None = None) -> tuple[DataFrame, dict]:
     """Exact segments from everything ingested so far.
 
-    Reads the postings log, derives global stats from it (n_docs = distinct
-    doc ids — each doc's postings carry its full per-doc tf set from one
-    micro-batch, so distinct-count is exact), scores, builds segments with
-    the normal batch pipeline. Result is identical to a batch build of the
-    same corpus (asserted in tests/test_streaming_ingest.py).
+    Reads the postings log, derives global stats from it, scores, builds
+    segments with the normal batch pipeline. Result is identical to a
+    batch build of the same corpus (asserted in
+    tests/test_streaming_ingest.py).
+
+    ``doc_log_path``: the :func:`docs_sink` sidecar. n_docs = distinct ids
+    there — exact even when the corpus contains token-less documents
+    (which emit no postings but still count toward n_docs/avgdl, matching
+    the batch build's ``docs.count()``). Without a sidecar, n_docs falls
+    back to distinct doc ids in the postings log, which is only exact for
+    corpora with no empty documents.
     """
     from pyspark.sql import functions as F
 
     from ..build import (build_segments, global_stats_from_postings,
                          score_postings)
     postings = spark.read.parquet(log_path)
-    n_docs = postings.select("doc_id").distinct().count()
+    if doc_log_path is not None:
+        n_docs = spark.read.parquet(doc_log_path) \
+            .select("doc_id").distinct().count()
+    else:
+        n_docs = postings.select("doc_id").distinct().count()
     stats = global_stats_from_postings(postings, n_docs)
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
     return build_segments(scored, salt_buckets=salt_buckets), stats

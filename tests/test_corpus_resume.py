@@ -88,6 +88,44 @@ def test_resumable_build(spark, corpus, tmp_path):
     assert skipped
 
 
+def test_all_build_paths_identical_segments(spark, corpus, tmp_path):
+    """Every build entry point (build_index, build_index_resumable,
+    build_index_skew_aware) must emit byte-identical segments on a d-bigram
+    build — in particular the X2 stored format (zigzag(s2) in the pair tf
+    stream) must be shared, not re-derived per path."""
+    from candidategeneration_spark.build import build_index_skew_aware
+    base, _ = build_index(corpus, text_col="content", dbigram_distance=3)
+    want = {r["term"]: (bytes(r["did_blob"]), bytes(r["score_blob"]),
+                        bytes(r["tf_blob"]))
+            for r in base.collect()}
+
+    seg_r, _, _ = build_index_resumable(
+        corpus, str(tmp_path / "xp"), dbigram_distance=3)
+    got_r = {r["term"]: (bytes(r["did_blob"]), bytes(r["score_blob"]),
+                         bytes(r["tf_blob"]))
+             for r in seg_r.collect()}
+    assert got_r == want
+
+    # threshold low enough that hot terms (and hot-candidate pairs) exist
+    seg_s, _ = build_index_skew_aware(
+        corpus, hot_df_threshold=50, text_col="content",
+        dbigram_distance=3, salt_buckets=4)
+    got_s = {r["term"]: (bytes(r["did_blob"]), bytes(r["score_blob"]),
+                         bytes(r["tf_blob"]))
+             for r in seg_s.collect()}
+    assert got_s == want
+
+
+def test_resume_param_mismatch_fails_loudly(spark, corpus, tmp_path):
+    """Resuming with different params (e.g. a stopword set) must not
+    silently reuse checkpoints tokenized under the other contract."""
+    root = str(tmp_path / "pm")
+    build_index_resumable(corpus, root, dbigram_distance=None)
+    with pytest.raises(ValueError, match="refusing"):
+        build_index_resumable(corpus, root, dbigram_distance=None,
+                              stopwords=frozenset({"def", "class"}))
+
+
 def test_segment_store_pruning(spark, corpus, tmp_path):
     path = str(tmp_path / "segstore")
     segments, stats = build_index(corpus, text_col="content",

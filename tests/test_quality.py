@@ -39,6 +39,25 @@ def test_posting_positions_impact_ordered(scored):
     assert [r["pos"] for r in rows] == list(range(len(rows)))
 
 
+def test_posting_positions_match_window_version(spark, scored):
+    """The skew-safe range-partitioned rank assignment must be value-
+    identical to the per-term window it replaced — including hot terms
+    spanning many range partitions (num_partitions >> #terms forces every
+    non-trivial list across partition boundaries)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("term").orderBy(F.desc("score_q"),
+                                           F.asc("doc_id"))
+    want = {(r["term"], r["doc_id"]): r["pos"] for r in
+            scored.select("term", "doc_id",
+                          (F.row_number().over(w) - 1).alias("pos"))
+            .collect()}
+    for nparts in (3, 64):
+        got = {(r["term"], r["doc_id"]): r["pos"] for r in
+               Q.posting_positions(scored, num_partitions=nparts)
+               .select("term", "doc_id", "pos").collect()}
+        assert got == want, f"nparts={nparts}"
+
+
 def test_quality_matrix_shape(scored, golden):
     m = Q.quality_matrix(scored, golden)
     assert (m["hits"] <= m["accesses"]).all()

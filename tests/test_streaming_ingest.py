@@ -19,11 +19,18 @@ def _seg_map(segments):
 
 
 def test_stream_ingest_compact_equals_batch_build(spark, tmp_path):
-    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet") \
+    base = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet") \
         .select("doc_id", "text")
+    # token-less docs: emit NO postings but still count toward n_docs/avgdl
+    # (the doc-id sidecar is what keeps compaction exact here)
+    empties = spark.createDataFrame(
+        [(10_000_001, ""), (10_000_002, "    ")], "doc_id long, text string")
+    docs = base.unionByName(empties)
     src = str(tmp_path / "arrivals")
     log = str(tmp_path / "postings_log")
+    doc_log = str(tmp_path / "doc_log")
     ckpt = str(tmp_path / "ckpt")
+    dckpt = str(tmp_path / "dckpt")
     # three arrival chunks -> three micro-batches (maxFilesPerTrigger=1)
     for i in range(3):
         docs.where(docs.doc_id % 3 == i).coalesce(1) \
@@ -32,10 +39,15 @@ def test_stream_ingest_compact_equals_batch_build(spark, tmp_path):
     stream = ingest.read_docs_stream(spark, src, max_files=1)
     q = ingest.postings_sink(ingest.stream_postings(stream), log, ckpt)
     q.awaitTermination(120)
+    qd = ingest.docs_sink(ingest.read_docs_stream(spark, src, max_files=1),
+                          doc_log, dckpt)
+    qd.awaitTermination(120)
 
-    seg_stream, stats_stream = ingest.compact_index(spark, log)
+    seg_stream, stats_stream = ingest.compact_index(
+        spark, log, doc_log_path=doc_log)
     seg_batch, stats_batch = build_index(docs, dbigram_distance=None)
     assert stats_stream == stats_batch
+    assert stats_stream["n_docs"] == base.count() + 2
     assert _seg_map(seg_stream) == _seg_map(seg_batch)
 
     # exactly-once: restarting against the same checkpoint with no new
