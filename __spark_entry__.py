@@ -41,8 +41,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats": entries.q_segment_stats,
         # augmented d-bigram query model (Q2, J4, X2)
         "bm25_topk_pairs": entries.q_bm25_topk_pairs,
+        # J4 exact variant: budget-merged precomputed pair lists
+        "pair_budget_index": entries.q_pair_budget_index,
         # term dictionary encode (T3/T4)
         "term_dictionary": entries.q_term_dictionary,
+        # query-trace cleaning (Q1) + access map (A5)
+        "query_trace_clean": entries.q_query_trace_clean,
+        "access_map": entries.q_access_map,
         # dedup family (training-data ops)
         "dedup_exact": entries.q_dedup_exact,
         "minhash_signatures": entries.q_minhash_signatures,
@@ -88,7 +93,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": entrysql.sql_bm25_topk(),
         "segment_stats": entrysql.sql_segment_stats(),
         "bm25_topk_pairs": entrysql.sql_bm25_topk_pairs(),
+        "pair_budget_index": entrysql.sql_pair_budget_index(
+            entries.PAIR_BUDGET),
         "term_dictionary": entrysql.sql_term_dictionary(),
+        "query_trace_clean": entrysql.sql_query_trace_clean(),
+        "access_map": entrysql.sql_access_map(),
         "dedup_exact": entrysql.sql_dedup_exact(),
         "minhash_signatures": entrysql.sql_minhash_signatures(),
         "lsh_candidate_pairs": entrysql.sql_lsh_candidate_pairs(),

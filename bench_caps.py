@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Scale-cap fan-out benchmark (VERDICT r2 task 7).
+
+Builds a boilerplate-skewed synthetic corpus (the 100 TB pathology: a
+large clique of near-identical license-header docs inside an organic
+corpus), then measures the similarity joins with caps OFF vs the
+``scale=True`` preset: candidate-pair counts (the join fan-out) and wall
+seconds. Writes BENCH/CAPS.md.
+
+The expected shape: fan-out is quadratic in the clique size with caps
+off, ~flat with the preset on, while organic (low-df) near-dup pairs are
+preserved exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BOILER = ("licensed under the apache license version 2.0 you may not use "
+          "this file except in compliance with the license you may obtain "
+          "a copy of the license at http www apache org licenses")
+
+
+def corpus(spark, n_organic: int, clique: int):
+    from pyspark.sql import functions as F
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text").limit(n_organic)
+    boiler = spark.range(clique).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit(BOILER + " unique"), F.col("id").cast("string"),
+                 F.lit(" tail"), (F.col("id") % 7).cast("string"))
+        .alias("text"))
+    return base.unionByName(boiler).cache()
+
+
+def run(docs, scale: bool) -> dict:
+    from candidategeneration_spark import textops
+    out = {}
+    t0 = time.time()
+    out["lsh_pairs"] = textops.lsh_candidate_pairs(docs, scale=scale).count()
+    out["lsh_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["ngram_pairs"] = textops.ngram_jaccard_pairs(
+        docs, min_jacc_q=500_000, scale=scale).count()
+    out["ngram_s"] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    from candidategeneration_spark.config import get_spark
+    from candidategeneration_spark import textops
+    spark = get_spark("local[8]", app_name="cg-caps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for clique in (0, 1000, 4000):
+        docs = corpus(spark, 4000, clique)
+        docs.count()
+        off = run(docs, scale=False)
+        on = run(docs, scale=True)
+        rows.append({"clique": clique, "off": off, "on": on})
+        docs.unpersist()
+        print(json.dumps(rows[-1]), flush=True)
+
+    lines = [
+        "# Scale-cap fan-out benchmark",
+        "",
+        "Synthetic pathology: 4,000 organic sf0.01 documents plus a clique",
+        "of docs sharing one license-boilerplate prefix (unique tails).",
+        "`scale=True` preset caps: LSH hot buckets at "
+        f"{textops.SCALE_LSH_MAX_BUCKET} docs, grams at df <= "
+        f"{textops.SCALE_GRAM_DF_CAP}.",
+        "",
+        "| clique | LSH pairs off | LSH pairs on | LSH s off | LSH s on |"
+        " ngram pairs off | ngram pairs on | ngram s off | ngram s on |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        o, n = r["off"], r["on"]
+        lines.append(
+            f"| {r['clique']} | {o['lsh_pairs']} | {n['lsh_pairs']} |"
+            f" {o['lsh_s']} | {n['lsh_s']} | {o['ngram_pairs']} |"
+            f" {n['ngram_pairs']} | {o['ngram_s']} | {n['ngram_s']} |")
+    lines += [
+        "",
+        "Reading: with caps off the pair count grows ~quadratically in the",
+        "clique (a 10^6-doc boilerplate cluster at corpus scale would emit",
+        "~10^12 join rows from ONE bucket); the preset bounds it while the",
+        "organic rows (clique=0 column) are unchanged — the caps only",
+        "touch hot groups. Defaults default-off so the DuckDB oracle gate",
+        "stays exact; `--scale` / `scale=True` is the deployment posture.",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "CAPS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCH/CAPS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, IntegerType, LongType, StringType, StructField,
     StructType,
@@ -373,6 +373,75 @@ def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
             yield _pair_rows_scored(pdf, dbigram_distance, stopwords)
 
     return joined.mapInPandas(gen, schema=PAIR_SCORED_SCHEMA)
+
+
+def build_pair_postings_budget(scored_uni: DataFrame, pairs: DataFrame,
+                               budget: int) -> DataFrame:
+    """J4 exact variant: pair lists merged from top-``budget`` unigram
+    prefixes — the reference's precomputed bigram index construction
+    (``BigramIndex.java:44-85``, ``getUnigramTopMap`` ibid. 126-151),
+    as opposed to :func:`build_pair_postings`'s exact full-corpus pass.
+
+    Reference semantics, re-expressed:
+
+    1. prefix(t) = the first ``budget`` postings of t's unigram list in
+       impact order (score desc, doc_id asc — the stored order of the
+       reference's unigram index, ``WWW.java:211-247``;
+       ``getUnigramTopMap`` reads exactly that prefix).
+    2. The pair (t1, t2)'s list = the two prefixes concatenated, re-sorted
+       ascending by the doc-id-major packed key (the ``parallelSort`` at
+       ``BigramIndex.java:66``), truncated to ``budget`` entries
+       (``min(len1+len2, budget)``, ibid. 67).
+
+    Documented deviations (both strictly cleaner, neither affects which
+    docs the budget admits except at the cap boundary):
+    - a doc present in BOTH prefixes collapses to ONE row carrying the
+      separate (s1, s2) components — the reference stores two adjacent
+      packed entries that its scorer then sums; our row IS the summed
+      form (X2 contract, compatible with :func:`pair_segment_input`).
+    - the cap counts reference ENTRIES (a both-sides doc counts 2) and
+      never splits a doc: a doc whose two entries straddle the cap is
+      dropped whole.
+
+    ``pairs``: (t1, t2) candidate pair set — the query-trace 2-subsets
+    (U4, ``Metadata.java:236-262``); t1 < t2.
+
+    Scale shape: prefixes bound every per-term list at ``budget`` rows
+    BEFORE anything is joined (the skew-safe rank assignment of
+    :func:`~candidategeneration_spark.quality.posting_positions`, so a
+    df≈N hot term never lands in one task); the side joins move only
+    budget-bounded tables; the per-pair truncation windows over ≤2·budget
+    rows. No full-length posting list ever crosses an exchange.
+    """
+    from .quality import posting_positions
+    needed = (pairs.select(F.col("t1").alias("term"))
+              .unionByName(pairs.select(F.col("t2").alias("term")))
+              .distinct())
+    pre = scored_uni.join(F.broadcast(needed), "term", "left_semi") \
+                    .select("term", "doc_id", "score_q")
+    prefix = posting_positions(pre).where(F.col("pos") < budget) \
+                                   .drop("pos")
+    a = (prefix.join(pairs, prefix["term"] == pairs["t1"])
+         .select("t1", "t2", "doc_id",
+                 F.col("score_q").alias("s1"),
+                 F.lit(0).cast("long").alias("s2"),
+                 F.lit(1).cast("long").alias("__ent")))
+    b = (prefix.join(pairs, prefix["term"] == pairs["t2"])
+         .select("t1", "t2", "doc_id",
+                 F.lit(0).cast("long").alias("s1"),
+                 F.col("score_q").alias("s2"),
+                 F.lit(1).cast("long").alias("__ent")))
+    merged = (a.unionByName(b)
+              .groupBy("t1", "t2", "doc_id")
+              .agg(F.sum("s1").alias("s1"), F.sum("s2").alias("s2"),
+                   F.sum("__ent").alias("__ent")))
+    w = Window.partitionBy("t1", "t2").orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    return (merged.withColumn("__cum", F.sum("__ent").over(w))
+            .where(F.col("__cum") <= budget)
+            .select(F.concat_ws(PAIR_SEP, "t1", "t2").alias("term"),
+                    "doc_id", "s1", "s2",
+                    (F.col("s1") + F.col("s2")).alias("score_q")))
 
 
 def global_stats_from_postings(postings: DataFrame, n_docs: int) -> dict:

@@ -92,6 +92,26 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    from . import textops
+    spark = _spark(args)
+    docs = spark.read.parquet(args.corpus)
+    if "text" not in docs.columns and "content" in docs.columns:
+        docs = docs.withColumnRenamed("content", "text")
+    if args.method == "lsh":
+        pairs = textops.lsh_candidate_pairs(
+            docs, max_bucket_size=args.max_bucket_size or None,
+            scale=args.scale)
+    else:
+        pairs = textops.ngram_jaccard_pairs(
+            docs, gram_df_cap=args.gram_df_cap or None, scale=args.scale)
+    pairs.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out": args.out, "method": args.method,
+                      "pairs": n, "scale": args.scale}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="candidategeneration_spark")
     p.add_argument("--master", default=None)
@@ -118,6 +138,25 @@ def main(argv=None) -> int:
                         "tokenize time (reference T2 capability; default "
                         "off for code corpora)")
     b.set_defaults(fn=cmd_build)
+
+    d = sub.add_parser("dedup", help="near-dup candidate pairs over a "
+                                     "corpus (LSH or n-gram Jaccard)")
+    d.add_argument("--corpus", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--method", choices=("lsh", "ngram"), default="lsh")
+    d.add_argument("--scale", action="store_true",
+                   help="100 TB preset: apply the measured hot-bucket / "
+                        "gram-df caps (BENCH/CAPS.md) that bound join "
+                        "fan-out on boilerplate-skewed corpora; off = "
+                        "exact oracle-parity mode")
+    d.add_argument("--max-bucket-size", type=int, default=0,
+                   dest="max_bucket_size",
+                   help="explicit LSH hot-bucket cap (overrides --scale "
+                        "default)")
+    d.add_argument("--gram-df-cap", type=int, default=0, dest="gram_df_cap",
+                   help="explicit n-gram document-frequency cap (overrides "
+                        "--scale default)")
+    d.set_defaults(fn=cmd_dedup)
 
     q = sub.add_parser("query", help="run a query file against an index")
     q.add_argument("--index", required=True)

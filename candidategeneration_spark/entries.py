@@ -82,6 +82,53 @@ def q_pair_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), "s1", "s2")
 
 
+def q_access_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — standalone access map (getAccessMap, Metadata.java:153-169):
+    per augmented term (unigram or 2-combination), the number of queries
+    containing it."""
+    from .quality import access_map
+    return access_map(_query_df(spark))
+
+
+def q_query_trace_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — query-trace cleaning (convertANDcleanQueryTrace,
+    Metadata.java:191-225): tokenize the fixed dirty trace, drop
+    no-ground-truth qids, encode terms through the corpus dictionary
+    (OOV drops out), remove emptied queries, renumber positions."""
+    from . import textops
+    from .entrysql import MISSING_GROUND_TRUTH_QIDS, RAW_QUERY_TRACE
+    raw = spark.createDataFrame(RAW_QUERY_TRACE, "qid long, text string")
+    missing = spark.createDataFrame(
+        [(q,) for q in MISSING_GROUND_TRUTH_QIDS], "qid long")
+    dt = textops.doc_tokens(load_docs(spark, sf_dir))
+    dictionary = textops.term_dictionary(dt)
+    return textops.clean_query_trace(raw, dictionary, missing_qids=missing)
+
+
+PAIR_BUDGET = 64
+
+
+def q_pair_budget_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 exact variant (BigramIndex.java:44-85): pair lists built by
+    merging the top-PAIR_BUDGET impact-order prefixes of the two unigram
+    lists, doc-id-ascending, capped at PAIR_BUDGET reference entries —
+    the reference's precomputed bigram index, as opposed to the exact
+    full-corpus pair pass of postings_dbigram. Pair set = the query
+    trace's distinct term 2-combinations (U4, Metadata.java:236-262)."""
+    from itertools import combinations
+    from .build import build_pair_postings_budget
+    prs = sorted({(a, b) for _, terms in QUERY_SET
+                  for a, b in combinations(sorted(set(terms)), 2)})
+    pdf = spark.createDataFrame(prs, "t1 string, t2 string")
+    scored = _scored_unigrams(spark, sf_dir)
+    res = build_pair_postings_budget(scored, pdf, PAIR_BUDGET)
+    split = F.split(F.col("term"), PAIR_SEP)
+    return res.select(
+        split.getItem(0).alias("t1"), split.getItem(1).alias("t2"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "s1", "s2", "score_q")
+
+
 def _query_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(qid, list(terms)) for qid, terms in QUERY_SET],

@@ -40,6 +40,21 @@ QUERY_SET: list[tuple[int, tuple[str, ...]]] = [
 
 TOPK = 10
 
+# Raw query trace for the Q1 cleaning gate (convertANDcleanQueryTrace,
+# Metadata.java:191-225): deliberately dirty — case, punctuation, OOV
+# terms, a fully-OOV query, an empty query, repeated terms — plus one
+# qid with no ground truth (the reference's missingQueries set).
+RAW_QUERY_TRACE: list[tuple[int, str]] = [
+    (0, "Fast KEY!"),
+    (1, "order, sort & MERGE"),
+    (5, "dup stream"),                 # dropped: no ground truth
+    (7, "zzznotaterm qqqqq"),          # fully OOV -> query removed
+    (15, "zzznotaterm data Query"),    # partial OOV -> positions close up
+    (16, ""),                          # empty -> removed
+    (17, "fast fast key"),             # repeats preserved as occurrences
+]
+MISSING_GROUND_TRUTH_QIDS: list[int] = [5]
+
 # ---------------------------------------------------------------------------
 # SQL scaffolding
 # ---------------------------------------------------------------------------
@@ -151,6 +166,43 @@ def sql_pair_streams() -> str:
         "FROM pairs p "
         "JOIN scored s1 ON s1.doc_id = p.doc_id AND s1.term = p.t1 "
         "JOIN scored s2 ON s2.doc_id = p.doc_id AND s2.term = p.t2")
+
+
+def sql_pair_budget_index(budget: int) -> str:
+    """Oracle for the J4 budget-merge pair index (BigramIndex.java:44-85):
+    top-``budget`` impact prefixes of the two unigram lists, merged,
+    doc-id-ascending, capped at ``budget`` reference entries (a doc in
+    both prefixes counts 2; a doc straddling the cap drops whole). Pair
+    set = the query trace's distinct 2-combinations."""
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_query_values()}, "
+        "qp AS ("
+        "  SELECT DISTINCT a.term AS t1, b.term AS t2"
+        "  FROM queries a JOIN queries b"
+        "    ON a.qid = b.qid AND a.term < b.term), "
+        "pre AS ("
+        "  SELECT s.term, s.doc_id, s.score_q,"
+        "         row_number() OVER (PARTITION BY s.term"
+        "                            ORDER BY s.score_q DESC, s.doc_id) AS rn"
+        "  FROM scored s"
+        "  WHERE s.term IN (SELECT t1 FROM qp UNION SELECT t2 FROM qp)), "
+        "sides AS ("
+        "  SELECT q.t1, q.t2, p.doc_id, p.score_q AS s1, 0 AS s2, 1 AS ent"
+        f"  FROM qp q JOIN pre p ON p.term = q.t1 AND p.rn <= {budget}"
+        "  UNION ALL"
+        "  SELECT q.t1, q.t2, p.doc_id, 0 AS s1, p.score_q AS s2, 1 AS ent"
+        f"  FROM qp q JOIN pre p ON p.term = q.t2 AND p.rn <= {budget}), "
+        "m AS ("
+        "  SELECT t1, t2, doc_id, CAST(sum(s1) AS BIGINT) AS s1,"
+        "         CAST(sum(s2) AS BIGINT) AS s2, sum(ent) AS ent"
+        "  FROM sides GROUP BY t1, t2, doc_id), "
+        "c AS ("
+        "  SELECT *, sum(ent) OVER (PARTITION BY t1, t2 ORDER BY doc_id"
+        "                           ROWS UNBOUNDED PRECEDING) AS cum"
+        "  FROM m) "
+        "SELECT t1, t2, CAST(doc_id AS BIGINT) AS doc_id, s1, s2, "
+        "CAST(s1 + s2 AS BIGINT) AS score_q "
+        f"FROM c WHERE cum <= {budget}")
 
 
 def sql_bm25_topk(k: int = TOPK) -> str:
@@ -626,6 +678,49 @@ def sql_term_dictionary() -> str:
     return (f"WITH {_TOK_CTE.strip()} "
             "SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT)"
             " AS tid FROM (SELECT DISTINCT term FROM tf)")
+
+
+def sql_access_map() -> str:
+    """Oracle for the A5 access map: augmented-term query counts over the
+    fixed query set (pair keys packed t1||chr(31)||t2 like the engine)."""
+    return (
+        f"WITH {_query_values()}, "
+        "agu AS ("
+        "  SELECT qid, term FROM queries"
+        "  UNION ALL"
+        "  SELECT a.qid, a.term || chr(31) || b.term AS term"
+        "  FROM queries a JOIN queries b"
+        "    ON a.qid = b.qid AND a.term < b.term) "
+        "SELECT term, CAST(count(*) AS BIGINT) AS n_queries "
+        "FROM agu GROUP BY term")
+
+
+def sql_query_trace_clean() -> str:
+    """Oracle for Q1 trace cleaning: tokenize the fixed raw trace with the
+    index contract, drop no-ground-truth qids, inner-join the corpus term
+    dictionary (OOV terms drop), renumber kept positions contiguously."""
+    vals = ", ".join(f"({qid}, '{text}')"
+                     for qid, text in RAW_QUERY_TRACE)
+    missing = ", ".join(str(q) for q in MISSING_GROUND_TRUTH_QIDS)
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_DICT_CTE.strip()}, "
+        f"rawq(qid, qtext) AS (SELECT * FROM (VALUES {vals}) v(qid, qtext)), "
+        "qtok AS ("
+        "  SELECT qid, list_filter("
+        "    string_split_regex(trim(regexp_replace(lower(qtext),"
+        f"      '[^a-z0-9.]', ' ', 'g')), '\\s+'),"
+        f"    t -> len(t) >= {MIN_TOKEN_LEN}) AS toks"
+        "  FROM rawq), "
+        "qpos AS ("
+        "  SELECT qid, unnest(toks) AS term,"
+        "         generate_subscripts(toks, 1) AS pos0"
+        f"  FROM qtok WHERE qid NOT IN ({missing})), "
+        "kept AS ("
+        "  SELECT q.qid, q.pos0, q.term, d.tid"
+        "  FROM qpos q JOIN dict d USING (term)) "
+        "SELECT CAST(qid AS BIGINT) AS qid, "
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY pos0) - 1 "
+        "AS BIGINT) AS pos, term, tid FROM kept")
 
 
 def sql_hits_rank() -> str:

@@ -230,6 +230,34 @@ def posting_positions(scored: DataFrame,
     return part.mapInPandas(tag, schema=out_schema)
 
 
+def access_map(queries: DataFrame) -> DataFrame:
+    """A5 — the access map (``getAccessMap``, ``Metadata.java:153-169``;
+    ``uniquePairs``, ``Extra.java:27-42``): for every augmented term
+    (query unigram or term 2-combination — Q2's "total" form,
+    ``agumentedQueryTrace``, ``Metadata.java:236-262``), the number of
+    queries whose augmented form contains it. The reference trains its
+    budget model on these counts; standalone here (round 3 — previously
+    folded into the quality-matrix accesses column).
+
+    ``queries``: (qid, terms array<string>). Returns (aguterm, n_queries)
+    with pair keys packed ``t1<SEP>t2`` like the segment store. Pure
+    aggregation: explode + self-equi-join on qid (queries are
+    bounded-length, the join is per-qid quadratic in |terms| ≤ ~10) +
+    one groupBy count — scales to any trace length.
+    """
+    from .build import PAIR_SEP
+    uni = queries.select("qid", F.explode(F.array_distinct("terms"))
+                         .alias("term"))
+    a = uni.select("qid", F.col("term").alias("t1"))
+    b = uni.select("qid", F.col("term").alias("t2"))
+    pairs = (a.join(b, "qid").where(F.col("t1") < F.col("t2"))
+             .select("qid", F.concat_ws(PAIR_SEP, "t1", "t2")
+                     .alias("term")))
+    return (uni.select("qid", "term").unionByName(pairs)
+            .groupBy("term").agg(F.count("*").cast("long")
+                                 .alias("n_queries")))
+
+
 def quality_matrix(scored: DataFrame, golden: DataFrame) -> pd.DataFrame:
     """2-D histogram: for each (len_bucket, rank_bucket), hits = golden-doc
     postings landing there; accesses = all postings there (Q4/Q5).

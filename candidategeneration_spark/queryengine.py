@@ -550,19 +550,32 @@ def wand_topk_prepared(prep: PreparedIndex, queries: DataFrame, k: int = 10,
             _BC_SEGMENTS.clear()  # one live batch per worker is enough
             _BC_SEGMENTS[key] = (val, segs)
         fn = _kernel(use_wand)
+        # result assembly in flat numpy accumulators — a per-query
+        # pd.DataFrame + one giant concat was ~40% of serving overhead at
+        # 10k-query batches (DataFrame construction costs ~100µs each,
+        # the kernel ~1ms)
         for pdf in batches:
-            out = []
+            qids_a, dids_a, scs_a, ns = [], [], [], []
             for qid, qterms in zip(pdf["qid"], pdf["terms"]):
                 qsegs = [segs[t] for t in dict.fromkeys(qterms) if t in segs]
                 dids, scs = fn(qsegs, k)
                 n = dids.shape[0]
-                out.append(pd.DataFrame({
-                    "qid": np.full(n, qid, dtype=np.int64),
-                    "rank": np.arange(n, dtype=np.int32),
-                    "doc_id": dids, "score_q": scs}))
-            yield (pd.concat(out, ignore_index=True) if out
-                   else pd.DataFrame({"qid": [], "rank": [], "doc_id": [],
-                                      "score_q": []}))
+                if n:
+                    qids_a.append(np.full(n, qid, dtype=np.int64))
+                    dids_a.append(dids)
+                    scs_a.append(scs)
+                    ns.append(n)
+            if ns:
+                ranks = np.concatenate(
+                    [np.arange(n, dtype=np.int32) for n in ns])
+                yield pd.DataFrame({
+                    "qid": np.concatenate(qids_a),
+                    "rank": ranks,
+                    "doc_id": np.concatenate(dids_a),
+                    "score_q": np.concatenate(scs_a)})
+            else:
+                yield pd.DataFrame({"qid": [], "rank": [], "doc_id": [],
+                                    "score_q": []})
 
     return queries.select(F.col("qid").cast("long").alias("qid"), "terms") \
                   .mapInPandas(run, schema=RESULT_SCHEMA)

@@ -42,6 +42,41 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
                 .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
 
 
+def clean_query_trace(raw: DataFrame, dictionary: DataFrame,
+                      missing_qids: DataFrame | None = None,
+                      stopwords=None) -> DataFrame:
+    """Q1 — query-trace cleaning (``convertANDcleanQueryTrace``,
+    ``Metadata.java:191-225``): tokenize a raw query trace with the
+    index's tokenizer contract, drop queries with no ground truth
+    (``missing_qids``), encode the surviving terms through the term
+    dictionary — out-of-vocabulary terms (stopwords were never indexed,
+    typos never occur in the corpus) silently drop out, exactly like the
+    reference's ``term2IdMap.get(term) == null`` branch — and remove
+    queries left empty (the reference's "stopword queries removed").
+
+    ``raw``: (qid, text) — the raw trace. ``dictionary``: (term, tid).
+    Returns (qid, pos, term, tid): one row per KEPT term occurrence,
+    ``pos`` = 0-based position within the cleaned query (the reference
+    writes kept terms contiguously, preserving their original order).
+
+    Scale shape: the trace is tiny next to the dictionary, so the trace
+    side broadcasts into the encode join — the 10^12-term dictionary
+    never moves. The per-qid position window partitions on qid (queries
+    are bounded-length, no skew possible).
+    """
+    toks = raw.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.posexplode(tokens_col(F.col("text"), stopwords))
+         .alias("pos0", "term"))
+    if missing_qids is not None:
+        toks = toks.join(F.broadcast(missing_qids.select("qid")),
+                         "qid", "left_anti")
+    enc = dictionary.join(F.broadcast(toks), "term")
+    w = Window.partitionBy("qid").orderBy("pos0")
+    return enc.select("qid", (F.row_number().over(w) - 1)
+                      .cast("long").alias("pos"), "term", "tid")
+
+
 def term_dictionary(doc_tf: DataFrame,
                     num_partitions: int | None = None) -> DataFrame:
     """(term, tid) dense 1-based ids, deterministic (ordered by term).
@@ -151,8 +186,18 @@ def lsh_bands(docs: DataFrame) -> DataFrame:
                .agg(F.sum(F.col("minhash") * F.col("w")).alias("band_key")))
 
 
+# Measured scale-cap defaults (BENCH/CAPS.md: skewed boilerplate corpus,
+# caps bound join fan-out with no loss on the organic near-dup pairs).
+# A bucket of n docs emits n^2/2 pairs — 256 caps any one bucket at ~32k
+# pairs; a gram in >128 docs contributes >8k join rows while carrying no
+# discriminative signal (license boilerplate).
+SCALE_LSH_MAX_BUCKET = 256
+SCALE_GRAM_DF_CAP = 128
+
+
 def lsh_candidate_pairs(docs: DataFrame,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        scale: bool = False) -> DataFrame:
     """(doc_a, doc_b) distinct pairs sharing at least one LSH band bucket.
 
     The band self-join is the scale path: equi-join on (band, band_key)
@@ -163,7 +208,13 @@ def lsh_candidate_pairs(docs: DataFrame,
     the standard LSH posture: members of a giant bucket are near-dups of a
     huge cluster that exact dedup already collapses more cheaply, and each
     doc still meets its neighbors through its other (MH_NPERM/MH_BAND_ROWS
-    - 1) bands. Default None = no cap (oracle-parity mode)."""
+    - 1) bands. Default None = no cap (oracle-parity mode).
+
+    ``scale=True``: the 100 TB preset — applies the measured default cap
+    (SCALE_LSH_MAX_BUCKET) unless an explicit ``max_bucket_size`` is
+    given. Oracle parity holds only with the default (exact) mode."""
+    if scale and max_bucket_size is None:
+        max_bucket_size = SCALE_LSH_MAX_BUCKET
     b = lsh_bands(docs)
     if max_bucket_size is not None:
         ok = (b.groupBy("band", "band_key")
@@ -220,7 +271,8 @@ def _doc_ngrams(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, min_jacc_q: int = 100_000,
-                        gram_df_cap: int | None = None) -> DataFrame:
+                        gram_df_cap: int | None = None,
+                        scale: bool = False) -> DataFrame:
     """(doc_a, doc_b, inter, uni, jacc_q): exact word-3-gram Jaccard over
     pairs sharing >=1 gram; jacc_q = trunc(1e6 * inter / union).
 
@@ -231,7 +283,12 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jacc_q: int = 100_000,
     carrying no discriminative signal. Capping makes inter/jacc a LOWER
     bound (doc gram-set sizes still count every gram, so union is exact) —
     the conservative direction for a dedup filter. Default None = exact
-    (oracle-parity mode)."""
+    (oracle-parity mode).
+
+    ``scale=True``: the 100 TB preset — applies the measured default cap
+    (SCALE_GRAM_DF_CAP) unless an explicit ``gram_df_cap`` is given."""
+    if scale and gram_df_cap is None:
+        gram_df_cap = SCALE_GRAM_DF_CAP
     g = _doc_ngrams(docs)
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     if gram_df_cap is not None:

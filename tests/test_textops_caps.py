@@ -42,6 +42,49 @@ def test_ngram_gram_df_cap(spark):
     assert c[(100, 101)] == f[(100, 101)]
 
 
+def test_scale_preset_wires_measured_caps(spark):
+    """scale=True must equal passing the measured default caps explicitly
+    (and an explicit cap must win over the preset)."""
+    docs = _corpus(spark)
+    preset = {(r["doc_a"], r["doc_b"]) for r in
+              textops.lsh_candidate_pairs(docs, scale=True).collect()}
+    explicit = {(r["doc_a"], r["doc_b"]) for r in
+                textops.lsh_candidate_pairs(
+                    docs, max_bucket_size=textops.SCALE_LSH_MAX_BUCKET)
+                .collect()}
+    assert preset == explicit
+    override = {(r["doc_a"], r["doc_b"]) for r in
+                textops.lsh_candidate_pairs(
+                    docs, max_bucket_size=5, scale=True).collect()}
+    small = {(r["doc_a"], r["doc_b"]) for r in
+             textops.lsh_candidate_pairs(docs, max_bucket_size=5).collect()}
+    assert override == small
+
+    jp = {(r["doc_a"], r["doc_b"]): r["jacc_q"] for r in
+          textops.ngram_jaccard_pairs(docs, min_jacc_q=1,
+                                      scale=True).collect()}
+    je = {(r["doc_a"], r["doc_b"]): r["jacc_q"] for r in
+          textops.ngram_jaccard_pairs(
+              docs, min_jacc_q=1,
+              gram_df_cap=textops.SCALE_GRAM_DF_CAP).collect()}
+    assert jp == je
+
+
+def test_cli_dedup_scale_flag(spark, tmp_path, capsys):
+    """`dedup --scale` runs the preset end-to-end and reports pair count."""
+    import json
+    from candidategeneration_spark import cli
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "pairs")
+    _corpus(spark).write.parquet(src)
+    rc = cli.main(["dedup", "--corpus", src, "--out", out,
+                   "--method", "lsh", "--scale"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["scale"] is True
+    assert rep["pairs"] == spark.read.parquet(out).count()
+
+
 def test_lsh_bucket_cap(spark):
     # identical docs -> identical signatures -> every band bucket holds the
     # whole 12-doc clique (> cap) and gets dropped; the distinct near-dup
