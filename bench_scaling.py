@@ -175,6 +175,51 @@ def worker(master: str, cores: int) -> None:
     spark.stop()
 
 
+def worker_spark_ceiling(master: str, cores: int) -> None:
+    """Spark-PLATFORM scaling ceiling of this box for the build's OWN
+    dominant kernel: tokenize-only mapInPandas over the cached corpus —
+    zero shuffle, zero skew, no persist of the output, tiny result rows.
+    This is the fastest the build's phase 1 could possibly scale here;
+    engine efficiency divided by this factors out JVM/Arrow/GC/python-
+    worker platform costs (the plain-multiprocessing host_ceiling bounds
+    the bare hardware for the same kernel; this adds the Spark runtime).
+
+    A first probe version used bandwidth-heavy synthetic numpy
+    (arange+sqrt over 48 MB arrays) and measured 0.37 — that workload
+    saturates the VM's memory bandwidth at 16 processes and bounds
+    nothing the build actually does; the tokenizer is compute-bound
+    (regex/string), like the real phase."""
+    import pandas as pd
+    sys.path.insert(0, REPO)
+    from candidategeneration_spark.config import get_spark
+    from candidategeneration_spark.tokenizer import tokenize_pandas
+
+    spark = get_spark(master=master, shuffle_partitions=max(8, cores * 2),
+                      app_name=f"cg-ceiling-{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(CORPUS).select("content") \
+        .repartition(cores * 4).cache()
+    n_docs = docs.count()
+
+    def tok_only(batches):
+        for pdf in batches:
+            toks = tokenize_pandas(pdf["content"])
+            yield pd.DataFrame({"n": [int(toks.str.len().sum())]})
+
+    df = docs.mapInPandas(tok_only, schema="n long")
+    df.count()                       # warm python workers + page cache
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        df.count()
+        reps.append(time.time() - t0)
+    el = min(reps)
+    print(json.dumps({"cores": cores, "n_docs": n_docs,
+                      "reps": [round(r, 3) for r in reps],
+                      "docs_per_sec": round(n_docs / el, 1)}), flush=True)
+    spark.stop()
+
+
 def _ceiling_work(n: int) -> float:
     import pandas as pd
     sys.path.insert(0, REPO)
@@ -232,6 +277,9 @@ def main() -> None:
         return
     if len(sys.argv) > 2 and sys.argv[2] == "--worker-dbigram":
         worker_dbigram(f"local[{sys.argv[3]}]", int(sys.argv[3]))
+        return
+    if len(sys.argv) > 2 and sys.argv[2] == "--worker-ceiling":
+        worker_spark_ceiling(f"local[{sys.argv[3]}]", int(sys.argv[3]))
         return
     ensure_corpus()
     # SPARK_GRAFT_SCALE_SKIP_DBI=1 reuses the previous run's d-bigram block
