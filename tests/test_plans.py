@@ -76,3 +76,24 @@ def test_dim_join_broadcasts(spark):
     from candidategeneration_spark.relops import top_orders
     df = top_orders(spark, f"{TESTDATA}/sf0.001")
     plans.assert_broadcast_join(df)
+
+
+def test_pair_budget_semi_join_broadcasts(spark, docs_sf001):
+    """build_pair_postings_budget: the needed-terms prune must be a
+    broadcast semi join (the scored table never SortMergeJoins against
+    the tiny pair-derived term set)."""
+    from candidategeneration_spark.build import (
+        build_pair_postings_budget, build_postings,
+        global_stats_from_postings, score_postings,
+    )
+    p = build_postings(docs_sf001)
+    st = global_stats_from_postings(p, docs_sf001.count())
+    scored = score_postings(p, st["n_docs"], st["avgdl"])
+    pairs = spark.createDataFrame([("fast", "key"), ("data", "query")],
+                                  "t1 string, t2 string")
+    bp = build_pair_postings_budget(scored, pairs, 16)
+    # the semi join against the needed-term set is explicitly broadcast;
+    # the side joins of budget-bounded prefixes x pair set may legally
+    # shuffle at scale (the reference's pair universe is ~11M pairs), so
+    # no SortMergeJoin prohibition here
+    plans.assert_broadcast_join(bp)
