@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from candidategeneration_spark import entries, entrysql  # noqa: E402
+from candidategeneration_spark.quality import LM_SCALE  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -73,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
         "toplayer_topk": entries.q_toplayer_topk,
+        "online_greedy_topk": entries.q_online_greedy_topk,
+        "selection_lookup_topk": entries.q_selection_lookup_topk,
+        "lm_probabilities": entries.q_lm_probabilities,
         # HITS DCG-style scoring (A6/M3)
         "hits_rank": entries.q_hits_rank,
         # relational operator surface (S/J/A/O families)
@@ -118,6 +122,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": entrysql.sql_ann_cosine_topk(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),
+        "online_greedy_topk": entrysql.sql_online_greedy_topk(
+            entries.ONLINE_BUDGET, entries.ONLINE_CLASS_BOUNDARIES,
+            entries.ONLINE_CLASS_NUMS),
+        "selection_lookup_topk": entrysql.sql_selection_lookup_topk(
+            entries.ONLINE_BUDGET, entries.ONLINE_CLASS_BOUNDARIES,
+            entries.ONLINE_CLASS_NUMS),
+        "lm_probabilities": entrysql.sql_lm_probabilities(LM_SCALE),
         "hits_rank": entrysql.sql_hits_rank(),
         "q1_pricing_summary": entrysql.sql_pricing_summary(),
         "q3_top_orders": entrysql.sql_top_orders(),

@@ -71,7 +71,7 @@ def worker_dbigram(master: str, cores: int) -> None:
     warm, _ = build_index(docs, text_col="content", dbigram_distance=5)
     warm.write.format("noop").mode("overwrite").save()
     reps = []
-    for _ in range(2):
+    for _ in range(N_REPS):
         spark.catalog.clearCache()
         docs = spark.read.parquet(CORPUS_DBI).repartition(cores * 4).cache()
         docs.count()

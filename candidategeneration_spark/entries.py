@@ -334,6 +334,69 @@ def q_quality_matrix(spark, sf_dir):
 
 QUALITY_BUDGET = 4000
 
+# Q8/X11 gate config: the reference's class tables scaled to the sf0.01
+# vocabulary (its boundaries are thousands-of-postings on a 50.2M-doc
+# corpus; dividing by 1000 puts the benchmark terms' dfs across several
+# classes so the CASE actually stratifies). Varying nums per class =
+# the reference's commented per-class configs (algo_toplayer.h:144-150).
+ONLINE_CLASS_BOUNDARIES = (0, 5, 10, 50, 100, 250, 500, 1000, 10000,
+                           1 << 40)
+ONLINE_CLASS_NUMS = (12, 16, 20, 24, 28, 32, 36, 40, 44)
+ONLINE_BUDGET = 64
+
+
+def q_online_greedy_topk(spark, sf_dir):
+    """Q8+X11 — per-QUERY online greedy budget allocation
+    (onlineGreedyDepthSelectionAlgorithm, algo_toplayer.h:193-269, invoked
+    algo_toplayer.cpp:176-178; class tables algo_toplayer.h:142-143):
+    train the quality matrix on the query set's ground truth, give each
+    query list its class-table depth, pool its (list, rank-chunk) cells,
+    grant spaces in model-value order until the 64-posting query budget is
+    spent, answer over the granted prefixes only."""
+    from . import quality
+    scored = _scored_unigrams(spark, sf_dir).cache()
+    queries = _query_df(spark)
+    golden = quality.golden_topk(scored, queries, k=TOPK)
+    qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
+    golden_terms = golden.join(qterms, "qid").select("term", "doc_id")
+    return quality.online_greedy_topk(
+        scored, queries, golden_terms, ONLINE_BUDGET, k=TOPK,
+        boundaries=ONLINE_CLASS_BOUNDARIES, nums=ONLINE_CLASS_NUMS)
+
+
+def q_selection_lookup_topk(spark, sf_dir):
+    """X3 + selection lookups — the reference's full flash-fetch
+    (decide_termbits_new algo_toplayer.cpp:341-390 + Do_SelectionLookups):
+    Q8 budgeted prefixes generate candidates with per-doc kbits coverage;
+    each candidate's missing terms are looked up in the full lists, so the
+    returned scores are the exact multi-term sums over the candidate set."""
+    from . import quality
+    scored = _scored_unigrams(spark, sf_dir).cache()
+    queries = _query_df(spark)
+    golden = quality.golden_topk(scored, queries, k=TOPK)
+    qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
+    golden_terms = golden.join(qterms, "qid").select("term", "doc_id")
+    return quality.selection_lookup_topk(
+        scored, queries, golden_terms, ONLINE_BUDGET, k=TOPK,
+        boundaries=ONLINE_CLASS_BOUNDARIES, nums=ONLINE_CLASS_NUMS)
+
+
+def q_lm_probabilities(spark, sf_dir):
+    """Q9 — unigram + d-bigram LM probability maps (Metadata.java:20-84),
+    derived from the corpus itself (MLE; the reference converts an external
+    LM through its dictionary — no external data exists here). Exact
+    integer probabilities p_q = cf*1e6 div total."""
+    from . import quality
+    from .build import build_pair_postings
+    docs = load_docs(spark, sf_dir)
+    stats = global_stats(docs)
+    uni = build_postings(docs)
+    scored = score_postings(uni, stats["n_docs"], stats["avgdl"])
+    pairs = build_pair_postings(docs, scored,
+                                dbigram_distance=DBIGRAM_DISTANCE)
+    return quality.lm_probability_maps(uni, pairs.select("term"),
+                                       stats["total_tokens"])
+
 
 def q_toplayer_topk(spark, sf_dir):
     """Quality-model-DRIVEN budgeted top-layer candidate generation

@@ -802,6 +802,178 @@ def sql_quality_matrix() -> str:
         " FROM acc LEFT JOIN hits ON acc.lb = hits.lb AND acc.rb = hits.rb")
 
 
+def _class_case(col: str, boundaries, nums) -> str:
+    """X11 class table as SQL — generated from the SAME Python constants
+    the Spark side uses (quality.class_lens), so the tables cannot
+    diverge."""
+    whens = " ".join(
+        f"WHEN {col} >= {int(lo)} THEN {int(n)}"
+        for lo, n in zip(boundaries[-2::-1], nums[::-1]))
+    return f"least({col}, CASE {whens} ELSE {int(nums[0])} END)"
+
+
+def _online_greedy_ctes(budget: int, boundaries, nums) -> str:
+    """Shared WITH-fragment for the Q8 family: matrix training + class-
+    table depths + per-query greedy grant → ``cut`` (qid, term, cutoff)
+    and ``p`` (impact-ordered positions), composed by the Q8 and X3
+    oracles."""
+    from .quality import LEN_BASE, LEN_START, RANK_BASE, RANK_START, \
+        geometric_ranges
+    lenr = _ranges_values("lb", geometric_ranges(LEN_BASE, LEN_START))
+    rankr = _ranges_values("rb", geometric_ranges(RANK_BASE, RANK_START))
+    depth_expr = _class_case("ql.list_len", boundaries, nums)
+    return (
+        f"{_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_query_values()}, "
+        f"{_GOLDEN_CTE.strip()}, {lenr}, {rankr}, "
+        "gterms AS ("
+        "  SELECT DISTINCT q.term, g.doc_id"
+        "  FROM golden g JOIN queries q USING (qid)), "
+        "p AS ("
+        "  SELECT term, doc_id, score_q, df AS list_len,"
+        "         row_number() OVER (PARTITION BY term"
+        "           ORDER BY score_q DESC, doc_id) - 1 AS pos"
+        "  FROM scored), "
+        "pb AS ("
+        "  SELECT p.term, p.doc_id, lbr.lb, rbr.rb"
+        "  FROM p"
+        "  JOIN lbr ON p.list_len >= lbr.lb_lo AND p.list_len < lbr.lb_hi"
+        "  JOIN rbr ON p.pos >= rbr.rb_lo AND p.pos < rbr.rb_hi), "
+        "acc AS (SELECT lb, rb, count(*) AS accesses FROM pb GROUP BY lb, rb), "
+        "hitsc AS ("
+        "  SELECT pb.lb, pb.rb, count(*) AS hits"
+        "  FROM pb JOIN gterms g ON g.term = pb.term AND g.doc_id = pb.doc_id"
+        "  GROUP BY pb.lb, pb.rb), "
+        "dens AS ("
+        "  SELECT acc.lb, acc.rb,"
+        "         CAST(COALESCE(hitsc.hits, 0) AS DOUBLE)"
+        "           / CAST(acc.accesses AS DOUBLE) AS density"
+        "  FROM acc LEFT JOIN hitsc ON acc.lb = hitsc.lb AND acc.rb = hitsc.rb), "
+        "tdf AS (SELECT term, count(*) AS list_len FROM scored GROUP BY term), "
+        "qlists AS ("
+        "  SELECT ql.qid, ql.term, ql.list_len,"
+        f"         {depth_expr} AS depth"
+        "  FROM (SELECT DISTINCT q.qid, q.term, tdf.list_len"
+        "        FROM queries q JOIN tdf USING (term)) ql), "
+        "cells0 AS ("
+        "  SELECT ql.qid, ql.term, ql.depth, rbr.rb, rbr.rb_lo, rbr.rb_hi,"
+        "         dens.density"
+        "  FROM qlists ql"
+        "  JOIN lbr ON ql.list_len >= lbr.lb_lo AND ql.list_len < lbr.lb_hi"
+        "  JOIN rbr ON rbr.rb_lo < ql.depth"
+        "  LEFT JOIN dens ON dens.lb = lbr.lb AND dens.rb = rbr.rb), "
+        "cells1 AS ("
+        "  SELECT *, min(CASE WHEN COALESCE(density, 0) > 0 THEN 1 ELSE 0"
+        "    END) OVER (PARTITION BY qid, term ORDER BY rb"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS alive"
+        "  FROM cells0), "
+        "cells AS ("
+        "  SELECT qid, term, rb, density * 1.0 AS value,"
+        "         least(rb_hi, depth) - rb_lo AS space"
+        "  FROM cells1 WHERE alive = 1), "
+        "gr AS ("
+        "  SELECT qid, term, space,"
+        "         COALESCE(sum(space) OVER (PARTITION BY qid"
+        "           ORDER BY value DESC, term, rb"
+        "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "           AS before"
+        "  FROM cells), "
+        "cut AS ("
+        "  SELECT qid, term, CAST(sum(greatest(0,"
+        f"           least(space, {budget} - before))) AS BIGINT) AS cutoff"
+        "  FROM gr GROUP BY qid, term HAVING cutoff > 0)")
+
+
+def sql_online_greedy_topk(budget: int, boundaries, nums,
+                           k: int = TOPK) -> str:
+    """Oracle for Q8+X11 (quality.online_greedy_topk): replays matrix
+    training, the class-table depth assignment, the per-query chunk walk
+    (stop at the first zero-density cell), the value-ordered greedy grant
+    with a partial remainder for the first overflowing cell, and the
+    TAAT merge over granted prefixes. The only floats are the density
+    int/int division and its ×1.0 weight — IEEE-identical both sides."""
+    return (
+        f"WITH {_online_greedy_ctes(budget, boundaries, nums)}, "
+        "look AS ("
+        "  SELECT c.qid, p.doc_id, p.score_q"
+        "  FROM cut c JOIN p ON p.term = c.term AND p.pos < c.cutoff), "
+        "qscore2 AS ("
+        "  SELECT qid, doc_id, CAST(sum(score_q) AS BIGINT) AS score_q"
+        "  FROM look GROUP BY qid, doc_id) "
+        "SELECT CAST(qid AS BIGINT) AS qid,"
+        " CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, doc_id) - 1 AS BIGINT) AS rank,"
+        " doc_id, score_q FROM qscore2"
+        f" QUALIFY rank < {k}")
+
+
+def sql_selection_lookup_topk(budget: int, boundaries, nums,
+                              k: int = TOPK) -> str:
+    """Oracle for X3 + selection lookups (quality.selection_lookup_topk):
+    on top of the Q8 cutoffs, assign per-query term bits (list length asc,
+    term tie-break — decide_termbits_new), accumulate reference-convention
+    kbits per candidate (0xFF minus the covered bits), look up each
+    candidate's uncovered terms in the full scored lists and add their
+    scores. Pure integer bit arithmetic — exact both sides."""
+    return (
+        f"WITH {_online_greedy_ctes(budget, boundaries, nums)}, "
+        "bits AS ("
+        "  SELECT qid, term, row_number() OVER (PARTITION BY qid"
+        "    ORDER BY list_len, term) - 1 AS bit"
+        "  FROM qlists), "
+        "pref AS ("
+        "  SELECT c.qid, p.doc_id, p.score_q, b.bit"
+        "  FROM cut c"
+        "  JOIN p ON p.term = c.term AND p.pos < c.cutoff"
+        "  JOIN bits b ON b.qid = c.qid AND b.term = c.term), "
+        "cand AS ("
+        "  SELECT qid, doc_id, sum(score_q) AS partial,"
+        "         255 - sum(1 << bit) AS kbits"
+        "  FROM pref GROUP BY qid, doc_id), "
+        "miss AS ("
+        "  SELECT c.qid, c.doc_id, b.term"
+        "  FROM cand c JOIN bits b ON b.qid = c.qid"
+        "  WHERE ((c.kbits >> b.bit) & 1) = 1), "
+        "fills AS ("
+        "  SELECT m.qid, m.doc_id, sum(s.score_q) AS fill"
+        "  FROM miss m JOIN scored s"
+        "    ON s.term = m.term AND s.doc_id = m.doc_id"
+        "  GROUP BY m.qid, m.doc_id), "
+        "fulls AS ("
+        "  SELECT c.qid, c.doc_id, CAST(c.kbits AS BIGINT) AS kbits,"
+        "         CAST(c.partial + COALESCE(f.fill, 0) AS BIGINT) AS score_q"
+        "  FROM cand c LEFT JOIN fills f"
+        "    ON f.qid = c.qid AND f.doc_id = c.doc_id) "
+        "SELECT CAST(qid AS BIGINT) AS qid,"
+        " CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, doc_id) - 1 AS BIGINT) AS rank,"
+        " doc_id, kbits, score_q FROM fulls"
+        f" QUALIFY rank < {k}")
+
+
+def sql_lm_probabilities(scale: int) -> str:
+    """Oracle for Q9 LM maps (quality.lm_probability_maps): unigram
+    P = Σtf/total_tokens, pair P = pair df / total pair postings, both as
+    exact integers via BIGINT floor division."""
+    return (
+        f"WITH {_TOK_CTE.strip()}, {_PAIRS_CTE.strip()}, "
+        "ptot AS (SELECT greatest(count(*), 1) AS n FROM pairs), "
+        "uni AS ("
+        "  SELECT term, CAST(0 AS BIGINT) AS is_pair,"
+        "         CAST(sum(tf) AS BIGINT) AS cf"
+        "  FROM tf GROUP BY term), "
+        "pairlm AS ("
+        "  SELECT t1 || chr(31) || t2 AS term, CAST(1 AS BIGINT) AS is_pair,"
+        "         CAST(count(*) AS BIGINT) AS cf"
+        "  FROM pairs GROUP BY t1, t2) "
+        "SELECT term, is_pair, cf,"
+        f" CAST(cf * {int(scale)} // stats.total_tokens AS BIGINT) AS p_q"
+        " FROM uni CROSS JOIN stats"
+        " UNION ALL "
+        "SELECT term, is_pair, cf,"
+        f" CAST(cf * {int(scale)} // ptot.n AS BIGINT) AS p_q"
+        " FROM pairlm CROSS JOIN ptot")
+
+
 def sql_toplayer_topk(budget: int = 4000, k: int = TOPK) -> str:
     """Oracle for the quality-model-driven budgeted top-layer path: trains
     the quality matrix, replays the cell-greedy selection (density-ranked

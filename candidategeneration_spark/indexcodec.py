@@ -93,6 +93,63 @@ def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+def opp_vbyte_encode(values: np.ndarray) -> bytes:
+    """C3 — "opposite" VByte, the reference's forward-index byte layout
+    (``decodeRawDoc``, ``utilsClass.java:61-79``): 7-bit groups stored
+    MOST-significant first, continuation bit (0x80) on every byte EXCEPT
+    the terminating least-significant one — the mirror image of LEB128
+    (whose groups are little-endian with the flag marking continuation).
+    Kept as an available codec for byte-level compatibility with forward
+    indexes in the reference's format; segments default to LEB128.
+    Vectorized like vbyte_encode_with_offsets."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    for i in range(1, 10):
+        nbytes += (v >= (_U64(1) << _U64(7 * i))).astype(np.int64)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    maxb = int(nbytes.max())
+    starts = offsets[:-1]
+    for j in range(maxb):
+        mask = nbytes > j
+        # byte j carries the (k-1-j)-th 7-bit group, big-endian
+        shift = ((nbytes[mask] - 1 - j).astype(np.uint64)) * _SEVEN
+        payload = ((v[mask] >> shift) & _MASK7).astype(np.uint8)
+        cont = ((nbytes[mask] > j + 1).astype(np.uint8)) << 7
+        out[starts[mask] + j] = payload | cont
+    return out.tobytes()
+
+
+def opp_vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode the reference's opposite-VByte stream (terminator = high bit
+    CLEAR on the last byte; groups big-endian). Vectorized twin of
+    ``decodeRawDoc`` (``utilsClass.java:61-79``): the scalar loop
+    ``n = n*128 + (b & 0x7f)`` / emit on ``b < 128`` becomes a reduceat
+    over per-byte contributions shifted by distance-from-terminator."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if not (b & 0x80).any():
+        return b.astype(np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.empty(ends.shape[0], dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    group = np.zeros(b.shape[0], dtype=np.int64)
+    group[starts] = 1
+    np.cumsum(group, out=group)
+    group -= 1
+    dist_from_end = (ends[group] - np.arange(b.shape[0], dtype=np.int64))
+    contrib = (b.astype(np.uint64) & _MASK7) << (
+        _SEVEN * dist_from_end.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
 def zigzag_encode(vals: np.ndarray) -> np.ndarray:
     """int64 → uint64 zigzag (0,-1,1,-2 → 0,1,2,3): negative quantized BM25
     scores (unsmoothed IDF, df > N/2 — the LONGEST lists) would otherwise

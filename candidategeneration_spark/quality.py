@@ -416,6 +416,243 @@ def extract_top_layers(scored: DataFrame, prefix_lens: dict[str, int]
             .select("term", "doc_id", "score_q"))
 
 
+# ---------------------------------------------------------------------------
+# Q8 / X11 — per-QUERY online budget allocation (round 3)
+# ---------------------------------------------------------------------------
+
+# X11 — class-based lookup budgets (``algo_toplayer.h:142-143``;
+# ``get_lens_for_selectionlookups``, ``algo_toplayer.cpp:1339-1349``): a
+# list's available lookup depth is a constant per list-length class. The
+# reference's chosen config: 9 classes, 3000 postings each (its commented
+# alternatives vary per class — the API below takes arbitrary tables).
+CLASS_BOUNDARIES: tuple[int, ...] = (0, 5000, 10000, 50000, 100000,
+                                     250000, 500000, 1000000, 10000000,
+                                     1 << 40)
+CLASS_NUMS: tuple[int, ...] = (3000,) * 9
+
+
+def class_lens(list_len_col, boundaries: tuple[int, ...] = CLASS_BOUNDARIES,
+               nums: tuple[int, ...] = CLASS_NUMS):
+    """X11 as a column expression: list length → class → budgeted depth
+    (clamped to the list length). Pure integer CASE — the DuckDB oracle
+    embeds the identical table (entrysql._class_case)."""
+    assert len(nums) == len(boundaries) - 1
+    # highest-boundary-first so the first matching WHEN wins
+    expr = None
+    for lo, n in zip(boundaries[-2::-1], nums[::-1]):
+        w = (list_len_col >= F.lit(int(lo)))
+        expr = F.when(w, F.lit(int(n))) if expr is None \
+            else expr.when(w, F.lit(int(n)))
+    return F.least(list_len_col, expr.otherwise(F.lit(int(nums[0]))))
+
+
+def online_greedy_cutoffs(qlists: DataFrame, matrix: DataFrame,
+                          budget: int) -> DataFrame:
+    """Q8 — the reference's ONLINE greedy depth selection, per query
+    (``onlineGreedyDepthSelectionAlgorithm[Unify]``,
+    ``algo_toplayer.h:193-374``, invoked ``algo_toplayer.cpp:176-178``):
+
+    for each of the query's lists, walk its rank-chunk cells in order
+    while the trained model's cell density is non-zero and the chunk
+    starts inside the list's available depth (the reference's
+    ``model[bucket][col] != 0 && depths[i] >= boundary[col]`` walk;
+    the last chunk is partial if the depth falls inside it); pool ALL
+    cells of the query, sort by model value descending (the Unify
+    variant weights pair-list cells ×5 — pass ``weight``), and grant
+    each cell its space in that order until ``budget`` is exhausted —
+    the first overflowing cell receives exactly the remainder. A
+    list's cutoff is the sum of its granted spaces.
+
+    ``qlists``: (qid, term, list_len, depth[, weight]) — one row per
+    candidate list per query; ``depth`` is the available top-layer
+    depth (e.g. X11 ``class_lens`` or a trained Q6 selection).
+    ``matrix``: (lb, rb, accesses, hits) from quality_matrix_df.
+    Returns (qid, term, cutoff) with cutoff > 0.
+
+    Scale shape: every window is partitioned by (qid[, term]) — cells
+    per query ≤ |terms| × ~40 chunks — and the dimension joins are
+    broadcast. Nothing global; scales with the query trace. The only
+    float is the density int/int division (and the exact ×5 weight),
+    IEEE-identical in the DuckDB oracle (sql_online_greedy_topk)."""
+    spark = qlists.sparkSession
+    lenr = _ranges_df(spark, "lb", geometric_ranges(LEN_BASE, LEN_START))
+    rankr = _ranges_df(spark, "rb", geometric_ranges(RANK_BASE, RANK_START))
+    dens = matrix.select(
+        "lb", "rb",
+        (F.col("hits").cast("double") / F.col("accesses").cast("double"))
+        .alias("density"))
+    weight = F.col("weight") if "weight" in qlists.columns else F.lit(1)
+    cells = (qlists.withColumn("w", weight.cast("double"))
+             .join(F.broadcast(lenr),
+                   (F.col("list_len") >= F.col("lb_lo")) &
+                   (F.col("list_len") < F.col("lb_hi")))
+             .join(F.broadcast(rankr), F.col("rb_lo") < F.col("depth"))
+             .join(F.broadcast(dens), ["lb", "rb"], "left"))
+    walk = Window.partitionBy("qid", "term").orderBy("rb") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells = (cells
+             .withColumn("alive", F.min(
+                 F.when(F.coalesce("density", F.lit(0.0)) > 0, 1)
+                 .otherwise(0)).over(walk))
+             .where(F.col("alive") == 1)
+             .withColumn("space", F.least("rb_hi", "depth") - F.col("rb_lo"))
+             .withColumn("value", F.col("density") * F.col("w")))
+    grant = Window.partitionBy("qid") \
+        .orderBy(F.desc("value"), F.asc("term"), F.asc("rb")) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cells = cells.withColumn(
+        "before", F.coalesce(F.sum("space").over(grant), F.lit(0)))
+    granted = F.greatest(
+        F.lit(0), F.least(F.col("space"), F.lit(budget) - F.col("before")))
+    return (cells.groupBy("qid", "term")
+            .agg(F.sum(granted).cast("long").alias("cutoff"))
+            .where(F.col("cutoff") > 0))
+
+
+def online_greedy_topk(scored: DataFrame, queries: DataFrame,
+                       golden_terms: DataFrame, budget: int,
+                       k: int = 10,
+                       boundaries: tuple[int, ...] = CLASS_BOUNDARIES,
+                       nums: tuple[int, ...] = CLASS_NUMS) -> DataFrame:
+    """Q8+X11 end-to-end: train the quality matrix, set each query list's
+    available depth from the X11 class table, allocate the per-query
+    budget online-greedily, fetch the granted impact-ordered prefixes
+    (Do_SelectionLookups), TAAT-merge and return the top-k
+    (qid, rank, doc_id, score_q). Approximate-by-design like
+    toplayer_topk — recall vs exact WAND is measured in tests, while
+    the DuckDB oracle pins the selection itself."""
+    matrix = quality_matrix_df(scored, golden_terms)
+    qterms = queries.select("qid", F.explode("terms").alias("term")) \
+        .distinct()
+    tdf = scored.groupBy("term").agg(F.count("*").alias("list_len"))
+    qlists = (qterms.join(tdf, "term")
+              .withColumn("depth",
+                          class_lens(F.col("list_len"), boundaries, nums))
+              .select("qid", "term", "list_len", "depth"))
+    cut = online_greedy_cutoffs(qlists, matrix, budget)
+    pos = posting_positions(scored)
+    look = (pos.join(F.broadcast(cut), "term")
+            .where(F.col("pos") < F.col("cutoff"))
+            .select("qid", "doc_id", "score_q"))
+    agg = look.groupBy("qid", "doc_id").agg(F.sum("score_q").alias("score_q"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (agg.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+            .where(F.col("rank") < k)
+            .select("qid", "rank", "doc_id", "score_q"))
+
+
+# Q9 quantization scale: 10^6 keeps cf*scale inside int64 up to 10^12
+# collection tokens (the north-star corpus scale); floor division is exact
+# integer both sides (Spark `div`, DuckDB `//`).
+LM_SCALE = 10 ** 6
+
+
+def lm_probability_maps(uni_postings: DataFrame,
+                        pair_postings: DataFrame | None,
+                        total_tokens: int,
+                        scale: int = LM_SCALE) -> DataFrame:
+    """Q9 — language-model probability maps (``getUnigramLanguageModel`` /
+    ``getBigramLanguageModel`` + ``buildLanguageMap``,
+    ``Metadata.java:20-84``): term → P(term). The reference converts an
+    EXTERNAL LM file through its term dictionary; this engine derives the
+    MLE maps from the corpus itself (no external data): unigram
+    P = cf / total_tokens with cf = Σtf; pair P = df_pair / total pair
+    postings (each pair posting is a distinct (pair, doc) co-occurrence —
+    build.build_pair_postings' A8 first-occurrence semantics).
+    Probabilities are emitted as exact integers p_q = (cf*scale) div total
+    so the DuckDB oracle replays them bit-for-bit.
+
+    Returns (term, is_pair 0|1, cf, p_q). Shape at scale: two groupBys +
+    broadcast scalar totals — no skew (cf aggregation is the same shuffle
+    as document frequency)."""
+    uni = (uni_postings.groupBy("term")
+           .agg(F.sum("tf").cast("long").alias("cf"))
+           .select("term", F.lit(0).cast("long").alias("is_pair"), "cf",
+                   F.expr(f"cf * {int(scale)} div {int(total_tokens)}")
+                   .cast("long").alias("p_q")))
+    if pair_postings is None:
+        return uni
+    ptot = pair_postings.count()
+    pair = (pair_postings.groupBy("term")
+            .agg(F.count("*").cast("long").alias("cf"))
+            .select("term", F.lit(1).cast("long").alias("is_pair"), "cf",
+                    F.expr(f"cf * {int(scale)} div {int(max(ptot, 1))}")
+                    .cast("long").alias("p_q")))
+    return uni.unionByName(pair)
+
+
+def termbits(qlists: DataFrame) -> DataFrame:
+    """X3 — per-query term-bit assignment (``decide_termbits_new``,
+    ``algo_toplayer.cpp:341-390``): the query's lists are ordered by list
+    length (term as the deterministic tie-break — the reference's
+    ``sort(term_orders, cmp_by_value)``) and list i gets bit i; the
+    reference stores the 0-valid mask ``~(1<<i)`` and ANDs masks into a
+    doc's kbits during the merge. Returns (qid, term, list_len[, ...],
+    bit) — the positive bit index; kbits follow as
+    ``0xFF & ~bit_or(1<<bit)``."""
+    w = Window.partitionBy("qid").orderBy(F.asc("list_len"), F.asc("term"))
+    return qlists.withColumn("bit", F.row_number().over(w) - 1)
+
+
+def selection_lookup_topk(scored: DataFrame, queries: DataFrame,
+                          golden_terms: DataFrame, budget: int,
+                          k: int = 10,
+                          boundaries: tuple[int, ...] = CLASS_BOUNDARIES,
+                          nums: tuple[int, ...] = CLASS_NUMS) -> DataFrame:
+    """X3 + Do_SelectionLookups — the reference's full flash-fetch query
+    shape (``algo_toplayer.cpp:341-390`` termbits; lookups
+    ``Do_SelectionLookups``/``get_lens_for_selectionlookups``,
+    ``algo_toplayer.cpp:1290-1349``): generate candidates from the Q8
+    budgeted prefixes, track per-doc term coverage as reference-convention
+    kbits (0xFF with a 0 bit per covered list), then LOOK UP each
+    candidate's missing terms in the full lists and add their scores —
+    final scores are the exact multi-term sums for every candidate.
+
+    Returns (qid, rank, doc_id, kbits, score_q); kbits is the coverage
+    BEFORE lookups (what X3 feeds to
+    Get_indexes_of_termlists_to_do_lookup). Scale shape: candidates are
+    budget-bounded per query, the lookup join is an equi-join of that
+    small set against the scored table on (term, doc_id) — no full-list
+    scans, mirroring the reference's random-access lookups."""
+    matrix = quality_matrix_df(scored, golden_terms)
+    qterms = queries.select("qid", F.explode("terms").alias("term")) \
+        .distinct()
+    tdf = scored.groupBy("term").agg(F.count("*").alias("list_len"))
+    qlists = (qterms.join(tdf, "term")
+              .withColumn("depth",
+                          class_lens(F.col("list_len"), boundaries, nums))
+              .select("qid", "term", "list_len", "depth"))
+    bits = termbits(qlists).select("qid", "term", "bit")
+    cut = online_greedy_cutoffs(qlists, matrix, budget)
+    pos = posting_positions(scored)
+    pref = (pos.join(F.broadcast(cut), "term")
+            .where(F.col("pos") < F.col("cutoff"))
+            .join(F.broadcast(bits), ["qid", "term"])
+            .select("qid", "doc_id", "score_q", "bit"))
+    # a doc appears at most once per (qid, term) list, so sum(1<<bit) is
+    # exactly bit_or — kbits in the reference's 0-valid convention
+    cand = (pref.groupBy("qid", "doc_id")
+            .agg(F.sum("score_q").alias("partial"),
+                 (F.lit(255) - F.sum(F.expr("shiftleft(1, bit)")))
+                 .cast("long").alias("kbits")))
+    missing = (cand.join(F.broadcast(bits), "qid")
+               .where(F.expr("shiftright(kbits, bit) & 1 = 1"))
+               .select("qid", "doc_id", "term"))
+    fills = (missing.join(scored.select("term", "doc_id", "score_q"),
+                          ["term", "doc_id"])
+             .groupBy("qid", "doc_id")
+             .agg(F.sum("score_q").alias("fill")))
+    full = (cand.join(fills, ["qid", "doc_id"], "left")
+            .select("qid", "doc_id", "kbits",
+                    (F.col("partial") + F.coalesce("fill", F.lit(0)))
+                    .cast("long").alias("score_q")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (full.withColumn("rank", (F.row_number().over(w) - 1)
+                            .cast("long"))
+            .where(F.col("rank") < k)
+            .select("qid", "rank", "doc_id", "kbits", "score_q"))
+
+
 def toplayer_topk(top_layers: DataFrame, queries: DataFrame,
                   k: int = 10) -> DataFrame:
     """Budgeted approximate candidate generation over top layers only —

@@ -393,3 +393,29 @@ def fingerprint(docs: DataFrame) -> DataFrame:
               .agg(F.sum(F.col("tid") * (F.col("pos") % 64 + 1))
                    .alias("fp"))
               .select("doc_id", F.col("fp").cast("long").alias("fp")))
+
+
+# ---------------------------------------------------------------------------
+# T5 — string → typed-array parsers (round 3)
+# ---------------------------------------------------------------------------
+
+def parse_int_array(col, sep: str = ","):
+    """T5 — ``string2IntArray`` (``WWW.java:446-449``) as a column
+    expression: split on ``sep``, trim, cast each element to int. Malformed
+    elements become NULL in-place (try_cast), mirroring the
+    reference's per-line try/parse. Empty string → empty array."""
+    parts = F.split(F.trim(col), sep)
+    parts = F.filter(parts, lambda t: F.trim(t) != "")
+    return F.transform(parts, lambda t: F.trim(t).try_cast("int"))
+
+
+def parse_long_array(col, sep: str = ","):
+    """T5 — ``string2LongArray`` (``WWW.java:456-459``)."""
+    parts = F.filter(F.split(F.trim(col), sep), lambda t: F.trim(t) != "")
+    return F.transform(parts, lambda t: F.trim(t).try_cast("long"))
+
+
+def parse_double_array(col, sep: str = ","):
+    """T5 — ``string2DoubleArray`` (``WWW.java:466-469``)."""
+    parts = F.filter(F.split(F.trim(col), sep), lambda t: F.trim(t) != "")
+    return F.transform(parts, lambda t: F.trim(t).try_cast("double"))

@@ -131,3 +131,48 @@ def test_pfor_beats_vbyte_on_tight_mode_with_outliers():
     pf = len(ic.pfor_encode(gaps))
     vb = len(ic.vbyte_encode(gaps))
     assert pf < vb * 0.6, (pf, vb)
+
+
+# ---------------------------------------------------------------------------
+# C3 — opposite VByte (the reference's forward-index layout, round 3)
+# ---------------------------------------------------------------------------
+
+def _reference_opp_decode(raw: bytes) -> list:
+    """Scalar transcription of decodeRawDoc (utilsClass.java:61-79):
+    n = n*128 + low7(b) on continuation bytes (>=128), emit on b < 128."""
+    out, n = [], 0
+    for b in raw:
+        if b >= 128:
+            n = n * 128 + (b & 0x7F)
+        else:
+            out.append(n * 128 + b)
+            n = 0
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_opp_vbyte_roundtrip(vals):
+    v = np.array(vals, dtype=np.uint64)
+    enc = ic.opp_vbyte_encode(v)
+    assert np.array_equal(ic.opp_vbyte_decode(enc), v)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=100))
+@settings(max_examples=150, deadline=None)
+def test_opp_vbyte_encode_matches_reference_decoder(vals):
+    """Bytes we emit must decode correctly under the REFERENCE's scalar
+    algorithm — byte-level format compatibility, not just self-roundtrip."""
+    enc = ic.opp_vbyte_encode(np.array(vals, dtype=np.uint64))
+    assert _reference_opp_decode(enc) == vals
+
+
+def test_opp_vbyte_is_not_leb128():
+    """The two layouts must differ for any multi-byte value (same length,
+    mirrored byte order + flag convention)."""
+    v = np.array([300], dtype=np.uint64)  # 300 = 0b100101100
+    opp = ic.opp_vbyte_encode(v)
+    leb = ic.vbyte_encode(v)
+    assert opp != leb
+    assert opp == bytes([0x82, 0x2C])   # msb group first, flag on first
+    assert leb == bytes([0xAC, 0x02])   # lsb group first, flag on first

@@ -118,3 +118,90 @@ def test_hits_weights_monotone_exact():
     vals = [x for _, x in w]
     assert vals == sorted(vals, reverse=True)
     assert all(isinstance(v, int) and v > 0 for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# Q8 / X11 — online per-query greedy budget allocation (round 3)
+# ---------------------------------------------------------------------------
+
+def _reference_greedy(qlists, dens, budget):
+    """Plain-Python reimplementation of the reference's online greedy
+    (algo_toplayer.h:193-374 semantics as documented on
+    Q.online_greedy_cutoffs): per query, walk each list's chunks in rank
+    order while density > 0 and the chunk starts inside the depth; pool,
+    sort by (value desc, term, rb), grant until budget with a partial
+    remainder for the first overflow."""
+    lenr = Q.geometric_ranges(Q.LEN_BASE, Q.LEN_START)
+    rankr = Q.geometric_ranges(Q.RANK_BASE, Q.RANK_START)
+
+    def lb_of(n):
+        return next(b for b, lo, hi in lenr if lo <= n < hi)
+
+    out = {}
+    by_q = {}
+    for qid, term, list_len, depth, weight in qlists:
+        by_q.setdefault(qid, []).append((term, list_len, depth, weight))
+    for qid, lists in by_q.items():
+        cells = []
+        for term, list_len, depth, weight in lists:
+            lb = lb_of(list_len)
+            for rb, lo, hi in rankr:
+                if lo >= depth:
+                    break
+                d = dens.get((lb, rb), 0.0)
+                if d <= 0:
+                    break  # the reference's walk stops at the first 0 cell
+                cells.append((d * weight, term, rb, min(hi, depth) - lo))
+        cells.sort(key=lambda c: (-c[0], c[1], c[2]))
+        spent = 0
+        for value, term, rb, space in cells:
+            g = max(0, min(space, budget - spent))
+            spent += g
+            if g:
+                out[(qid, term)] = out.get((qid, term), 0) + g
+    return out
+
+
+@pytest.mark.parametrize("budget", [7, 40, 64, 10_000])
+def test_online_greedy_cutoffs_match_reference_greedy(spark, budget):
+    """Distributed Q8 == the driver-side reference greedy, including the
+    Unify variant's x5 pair weighting, the first-zero-density walk stop,
+    and the partial grant to the first overflowing cell."""
+    matrix = spark.createDataFrame(
+        [(1, 0, 100, 50), (1, 1, 100, 20), (1, 2, 100, 10),
+         (4, 0, 200, 60), (4, 1, 200, 0), (4, 2, 200, 40),  # 0-cell stops walk
+         (7, 0, 400, 30), (7, 1, 400, 30), (7, 2, 400, 15)],
+        "lb int, rb int, accesses long, hits long")
+    dens = {(r["lb"], r["rb"]): r["hits"] / r["accesses"]
+            for r in matrix.collect()}
+    qlists_rows = [
+        # (qid, term, list_len, depth, weight): lb(4)=1, lb(7)=4, lb(10)=7
+        # rank chunks: [0,11) [11,16) [16,22) [22,31) ...
+        (0, "alpha", 4, 4, 1),
+        (0, "beta", 7, 30, 1),
+        (0, "al<|>be", 10, 25, 5),     # pair list, x5 weight
+        (1, "gamma", 10, 60, 1),
+        (1, "alpha", 4, 3, 1),
+        (2, "delta", 7, 12, 1),
+    ]
+    qlists = spark.createDataFrame(
+        qlists_rows,
+        "qid long, term string, list_len long, depth long, weight int")
+    got = {(r["qid"], r["term"]): r["cutoff"]
+           for r in Q.online_greedy_cutoffs(qlists, matrix, budget).collect()}
+    want = _reference_greedy(qlists_rows, dens, budget)
+    assert got == want, f"budget={budget}: {got} != {want}"
+
+
+def test_class_lens_x11_table(spark):
+    """X11 — the class CASE must bucket by the reference boundaries and
+    clamp to the list length."""
+    bounds = (0, 5, 10, 50, 100, 250, 500, 1000, 10000, 1 << 40)
+    nums = (12, 16, 20, 24, 28, 32, 36, 40, 44)
+    rows = [(1,), (4,), (5,), (9,), (49,), (50,), (260,), (999,),
+            (20_000,), (13,)]
+    df = spark.createDataFrame(rows, "n long").withColumn(
+        "depth", Q.class_lens(F.col("n"), bounds, nums))
+    got = {r["n"]: r["depth"] for r in df.collect()}
+    assert got == {1: 1, 4: 4, 5: 5, 9: 9, 49: 20, 50: 24, 260: 32,
+                   999: 36, 20_000: 44, 13: 13}

@@ -61,3 +61,26 @@ def test_corpusio_catalog_table(spark):
     df.createOrReplaceTempView("code_files_tmp")
     docs = corpusio.read_corpus(spark, "code_files_tmp")
     assert docs.count() == 1 and "doc_id" in docs.columns
+
+
+def test_parse_typed_arrays_t5(spark):
+    """T5 — string→array parsers (WWW.java:441-470 parity): ints, longs,
+    doubles; malformed elements → NULL in place; empty string → []."""
+    from pyspark.sql import functions as F
+    from candidategeneration_spark import textops as T
+    df = spark.createDataFrame(
+        [("1,2,3", "9007199254740993, -4", "1.5, 2, nope", ""),
+         (" 7 ", "", "-0.25", "x,8")],
+        "si string, sl string, sd string, se string")
+    r = df.select(T.parse_int_array(F.col("si")).alias("ai"),
+                  T.parse_long_array(F.col("sl")).alias("al"),
+                  T.parse_double_array(F.col("sd")).alias("ad"),
+                  T.parse_int_array(F.col("se")).alias("ae")).collect()
+    assert r[0]["ai"] == [1, 2, 3]
+    assert r[0]["al"] == [9007199254740993, -4]
+    assert r[0]["ad"] == [1.5, 2.0, None]
+    assert r[0]["ae"] == []
+    assert r[1]["ai"] == [7]
+    assert r[1]["al"] == []
+    assert r[1]["ad"] == [-0.25]
+    assert r[1]["ae"] == [None, 8]
