@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cells": entries.q_ann_ivf_cells,
         "ann_ivf_topk": entries.q_ann_ivf_topk,
         "ann_cosine_topk": entries.q_ann_cosine_topk,  # rank-only (floats)
+        "dedup_embedding": entries.q_dedup_embedding,
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
         "toplayer_topk": entries.q_toplayer_topk,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_cells": entrysql.sql_ann_ivf_cells(),
         "ann_ivf_topk": entrysql.sql_ann_ivf_topk(),
         "ann_cosine_topk": entrysql.sql_ann_cosine_topk(),
+        "dedup_embedding": entrysql.sql_dedup_embedding(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),
         "online_greedy_topk": entrysql.sql_online_greedy_topk(

@@ -233,3 +233,59 @@ def cosine_topk_pandas(emb: DataFrame, n_probes: int = 10,
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w) - 1)
                   .where(F.col("rank") < k))
+
+
+def near_dup_pairs(emb: DataFrame, num: int = 49, den: int = 400,
+                   n_planes: int = N_PLANES,
+                   band_bits: int = 2) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the dedup-family member over
+    the embedding column: banded-LSH candidate generation + an EXACT
+    integer cosine-threshold test, cos(a,b) ≥ sqrt(num/den), evaluated
+    without floats as ``dot ≥ 0 AND den·dot² ≥ num·‖a‖²·‖b‖²`` on the
+    quantized vectors (associative integer products — identical in the
+    DuckDB oracle).
+
+    Candidates: the ``n_planes``-bit sign signature (lsh_buckets) is cut
+    into ``n_planes/band_bits`` bands of ``band_bits`` bits; two vectors
+    are candidates iff ANY band matches (classic banding S-curve — pick
+    band_bits/n_planes for the target threshold; at a true near-dup
+    threshold (cos ≥ .9+) use 32-64 planes and 8-16-bit bands so bucket
+    sizes stay bounded). The band equi-join replaces the all-pairs cross
+    join — the piece that scales. Returns (vec_id_a, vec_id_b, dot_q).
+
+    Overflow bound: den·dot² and num·na2·nb2 stay inside int64 for
+    dim ≤ 64, |x| ≤ 1, QUANT=1000, den ≤ 400 (dot ≤ 6.4e7 →
+    den·dot² ≤ 1.6e18 < 2^63)."""
+    assert n_planes % band_bits == 0
+    sig = lsh_buckets(emb, n_planes)
+    bands = emb.sparkSession.range(n_planes // band_bits).select(
+        F.col("id").alias("band"))
+    mask = (1 << band_bits) - 1
+    bb = (sig.crossJoin(F.broadcast(bands))
+          .select("vec_id", "band",
+                  F.expr(f"shiftright(bucket, cast(band * {band_bits} as int))"
+                         f" & {mask}").alias("bkey")))
+    cand = (bb.alias("x").join(
+                bb.alias("y"),
+                (F.col("x.band") == F.col("y.band")) &
+                (F.col("x.bkey") == F.col("y.bkey")) &
+                (F.col("x.vec_id") < F.col("y.vec_id")))
+            .select(F.col("x.vec_id").alias("vec_id_a"),
+                    F.col("y.vec_id").alias("vec_id_b"))
+            .distinct())
+    q = quantized(emb).select(
+        "vec_id", "qvec",
+        _int_dot(F.col("qvec"), F.col("qvec")).alias("n2"))
+    pairs = (cand
+             .join(q.select(F.col("vec_id").alias("vec_id_a"),
+                            F.col("qvec").alias("va"),
+                            F.col("n2").alias("na2")), "vec_id_a")
+             .join(q.select(F.col("vec_id").alias("vec_id_b"),
+                            F.col("qvec").alias("vb"),
+                            F.col("n2").alias("nb2")), "vec_id_b"))
+    return (pairs.withColumn("dot_q", _int_dot(F.col("va"), F.col("vb")))
+            .where((F.col("dot_q") >= 0) &
+                   (F.lit(int(den)) * F.col("dot_q") * F.col("dot_q") >=
+                    F.lit(int(num)) * F.col("na2") * F.col("nb2")))
+            .select("vec_id_a", "vec_id_b",
+                    F.col("dot_q").cast("long").alias("dot_q")))

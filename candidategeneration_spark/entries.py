@@ -236,6 +236,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     return annops.ivf_topk(emb)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family): banded-LSH
+    candidates + exact integer cos >= sqrt(49/400) (= 0.35 — a TEST-SCALE
+    threshold: the synthetic embeddings' max pairwise cosine is ~0.51;
+    production near-dup (.9+) uses the same operator with more planes)."""
+    from . import annops
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annops.near_dup_pairs(emb, num=49, den=400)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Rank-only projection of the float cosine path: the cos value itself
     is fp-summation-order dependent (NumPy matmul vs sequential SQL sum)

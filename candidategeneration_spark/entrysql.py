@@ -572,6 +572,45 @@ def sql_ann_ivf_topk(n_probes: int = 10, topk: int = 10, k: int = 8,
         f" QUALIFY rank < {topk}")
 
 
+def sql_dedup_embedding(num: int = 49, den: int = 400, n_planes: int = 8,
+                        band_bits: int = 2) -> str:
+    """Oracle for annops.near_dup_pairs: banded-LSH candidates from the
+    sign-signature buckets + exact integer cosine threshold
+    (dot ≥ 0 AND den·dot² ≥ num·na2·nb2)."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    return (
+        f"WITH {_QVEC_CTE}, "
+        "comp AS (SELECT vec_id, unnest(v) AS q,"
+        " generate_subscripts(v, 1) AS i FROM qv), "
+        f"planes AS (SELECT range AS plane FROM range({n_planes})), "
+        "dots AS (SELECT vec_id, plane,"
+        " sum(q * (((i-1)*7 + plane*13) % 11 - 5)) AS dot"
+        " FROM comp CROSS JOIN planes GROUP BY vec_id, plane), "
+        "sig AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0"
+        " THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE 0 END) AS BIGINT)"
+        " AS bucket FROM dots GROUP BY vec_id), "
+        f"bands AS (SELECT range AS band FROM range({n_bands})), "
+        "bb AS (SELECT vec_id, band,"
+        f" (bucket >> CAST(band * {band_bits} AS INT)) & {mask} AS bkey"
+        " FROM sig CROSS JOIN bands), "
+        "cand AS (SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b"
+        " FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey"
+        " AND x.vec_id < y.vec_id), "
+        "n2 AS (SELECT vec_id, sum(q*q) AS n2 FROM comp GROUP BY vec_id), "
+        "dotp AS (SELECT c.vec_id_a, c.vec_id_b, sum(a.q * b.q) AS dot_q"
+        " FROM cand c"
+        " JOIN comp a ON a.vec_id = c.vec_id_a"
+        " JOIN comp b ON b.vec_id = c.vec_id_b AND b.i = a.i"
+        " GROUP BY c.vec_id_a, c.vec_id_b) "
+        "SELECT d.vec_id_a, d.vec_id_b, CAST(d.dot_q AS BIGINT) AS dot_q"
+        " FROM dotp d"
+        " JOIN n2 na ON na.vec_id = d.vec_id_a"
+        " JOIN n2 nb ON nb.vec_id = d.vec_id_b"
+        f" WHERE d.dot_q >= 0 AND {int(den)} * d.dot_q * d.dot_q >="
+        f" {int(num)} * na.n2 * nb.n2")
+
+
 def sql_ann_cosine_topk(n_probes: int = 10, k: int = 10) -> str:
     """Rank-only oracle for the float cosine path (see q_ann_cosine_topk:
     the cos VALUE is fp-order dependent, the ranking is stable)."""

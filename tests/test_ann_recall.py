@@ -87,3 +87,35 @@ def test_ivf_topk_recall_on_planted_clusters(spark):
                for q in exact]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.6, f"IVF mean recall {mean_recall:.2f}"
+
+
+def test_near_dup_pairs_recall_and_precision(spark):
+    """Embedding-cosine near-dup (dedup family): on planted clusters with
+    cos ≥ 0.9 intra-cluster, the banded-LSH + exact-threshold pairs must
+    (a) contain NO false positives vs the exact integer threshold (the
+    filter is exact by construction — assert it anyway end-to-end), and
+    (b) recover most intra-cluster pairs (banding recall)."""
+    from pyspark.sql import functions as F
+    emb = _clustered_emb(spark, n_clusters=12, per_cluster=6, jitter=0.04)
+    # high threshold: cos >= sqrt(324/400) = 0.9
+    got = {(r["vec_id_a"], r["vec_id_b"])
+           for r in annops.near_dup_pairs(emb, num=324, den=400).collect()}
+    # exact brute-force ground truth at the same integer threshold
+    q = annops.quantized(emb).select(
+        "vec_id", "qvec",
+        annops._int_dot(F.col("qvec"), F.col("qvec")).alias("n2"))
+    a = q.select(F.col("vec_id").alias("va"), F.col("qvec").alias("qa"),
+                 F.col("n2").alias("na2"))
+    b = q.select(F.col("vec_id").alias("vb"), F.col("qvec").alias("qb"),
+                 F.col("n2").alias("nb2"))
+    truth = {(r["va"], r["vb"]) for r in
+             a.crossJoin(b).where(F.col("va") < F.col("vb"))
+             .withColumn("d", annops._int_dot(F.col("qa"), F.col("qb")))
+             .where((F.col("d") >= 0) &
+                    (F.lit(400) * F.col("d") * F.col("d") >=
+                     F.lit(324) * F.col("na2") * F.col("nb2")))
+             .select("va", "vb").collect()}
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    assert len(truth) > 30  # clusters actually produced near-dups
+    recall = len(got) / len(truth)
+    assert recall >= 0.6, f"banding recall {recall:.2f}"
