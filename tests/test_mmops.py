@@ -53,3 +53,26 @@ def test_frame_sample_shape(spark, docs_sf001):
     for r in rows:
         assert r["frame_idx"] % 10 == 0  # every=10 default
         assert isinstance(bytes(r["frame_bytes"]), bytes)
+
+
+def test_frame_sample_matches_scalar_reference(spark):
+    """The vectorized sampler must be byte-identical to the original
+    per-row/per-frame loop (python-slice clamp semantics included — blobs
+    shorter than their frame count yield empty trailing frames)."""
+    import numpy as np
+    from candidategeneration_spark.mmops import _fake_meta, frame_sample
+    rng = np.random.default_rng(7)
+    rows = [(i, bytes(rng.integers(0, 256, size=int(n), dtype=np.uint8)))
+            for i, n in enumerate([0, 1, 3, 17, 256, 1024, 5000])]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame_bytes"])
+           for r in frame_sample(df, every=3).collect()}
+    want = {}
+    for did, blob in rows:
+        n = len(blob)
+        _, _, nf = _fake_meta(np.array([n], dtype=np.int64))
+        nf = int(nf[0])
+        step = max(1, n // nf) if nf else 1
+        for i in range(0, nf, 3):
+            want[(did, i)] = blob[i * step:(i + 1) * step]
+    assert got == want
