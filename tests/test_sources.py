@@ -84,3 +84,57 @@ def test_parse_typed_arrays_t5(spark):
     assert r[1]["al"] == []
     assert r[1]["ad"] == [-0.25]
     assert r[1]["ae"] == [None, 8]
+
+
+def _mini_warc() -> bytes:
+    """Three-record WARC/0.18 sample shaped like ClueWeb09: warcinfo,
+    a response with HTTP headers + messy HTML, and a non-response record
+    that must be skipped."""
+    def rec(rtype, extra, body: bytes) -> bytes:
+        hdr = (f"WARC/0.18\r\nWARC-Type: {rtype}\r\n"
+               + "".join(f"{k}: {v}\r\n" for k, v in extra)
+               + f"Content-Length: {len(body)}\r\n\r\n").encode()
+        return hdr + body + b"\r\n\r\n"
+    html = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><head><style>p{color:red}</style>"
+            b"<script>var x=1;</script></head>"
+            b"<body><!-- hidden --><p>Fast &amp; simple</p>"
+            b"<div>key  value</div></body></html>")
+    return (rec("warcinfo", [("WARC-Record-ID", "<urn:uuid:0>")],
+                b"software: test\r\n")
+            + rec("response", [("WARC-TREC-ID", "clueweb09-en0000-00-00001"),
+                               ("WARC-Target-URI", "http://example.com/a")],
+                  html)
+            + rec("request", [("WARC-Record-ID", "<urn:uuid:2>")],
+                  b"GET / HTTP/1.1\r\n"))
+
+
+def test_warc_ingestion_s5(spark, tmp_path):
+    """S5 — WARC/HTML ingestion (ReadWarcSample.java:14-39 pipeline):
+    gzipped WARC -> response records only -> TREC id + URI + stripped
+    text."""
+    import gzip as _gz
+    from candidategeneration_spark.sources import warc
+    raw = _mini_warc()
+    (tmp_path / "00.warc.gz").write_bytes(_gz.compress(raw))
+    (tmp_path / "01.warc").write_bytes(raw)   # same content, uncompressed
+    rows = warc.read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 2  # one response per file; other types skipped
+    for r in rows:
+        assert r["doc_id"] == "clueweb09-en0000-00-00001"
+        assert r["uri"] == "http://example.com/a"
+        assert r["text"] == "Fast & simple key value"
+
+
+def test_warc_record_framing_content_length_exact():
+    """Framing must be Content-Length-driven: a body containing the
+    'WARC/' marker must not split the record."""
+    from candidategeneration_spark.sources.warc import iter_warc_records
+    body = b"sneaky WARC/0.18 inside body"
+    data = (f"WARC/0.18\nWARC-Type: response\n"
+            f"Content-Length: {len(body)}\n\n").encode() + body + \
+        b"\n\nWARC/0.18\nWARC-Type: request\nContent-Length: 2\n\nok"
+    recs = list(iter_warc_records(data))
+    assert len(recs) == 2
+    assert recs[0][1] == body
+    assert recs[1][0]["WARC-Type"] == "request"
