@@ -97,3 +97,53 @@ def test_pair_budget_semi_join_broadcasts(spark, docs_sf001):
     # shuffle at scale (the reference's pair universe is ~11M pairs), so
     # no SortMergeJoin prohibition here
     plans.assert_broadcast_join(bp)
+
+
+def test_near_dup_band_join_is_equi_join(spark):
+    """near_dup_pairs: the band self-join (the piece that must scale) has
+    to be a hash/sort equi-join on (band, bkey) — a CartesianProduct or
+    BroadcastNestedLoopJoin between the two signature sides would be the
+    all-pairs plan the banding exists to avoid."""
+    from candidategeneration_spark import annops
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    nd = annops.near_dup_pairs(emb)
+    plan = plans.explain_str(nd)
+    assert "CartesianProduct" not in plan, plan
+    import re
+    # an equi-join on the band keys must exist (any hash/sort flavor)
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                     plan), plan
+    # nested-loop joins may appear ONLY as the broadcast of the tiny bands
+    # range (4 rows) — i.e. every one must be a BroadcastNestedLoopJoin,
+    # never a plain NestedLoopJoin over the two signature sides
+    assert "NestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""), plan
+
+
+def test_online_greedy_windows_are_per_query(spark, docs_sf001):
+    """Q8: every window in the online-greedy plan must be partitioned (by
+    qid / (qid, term) / term) — an empty PARTITION BY would serialize the
+    query batch through one task at scale."""
+    from candidategeneration_spark import quality as Q
+    from candidategeneration_spark.build import (
+        build_postings, global_stats, score_postings,
+    )
+    st = global_stats(docs_sf001)
+    scored = score_postings(build_postings(docs_sf001),
+                            st["n_docs"], st["avgdl"])
+    qdf = spark.createDataFrame([(0, ["fast", "key"])],
+                                "qid long, terms array<string>")
+    golden = Q.golden_topk(scored, qdf, k=5)
+    gt = golden.join(qdf.select("qid", F.explode("terms").alias("term")),
+                     "qid").select("term", "doc_id")
+    df = Q.online_greedy_topk(scored, qdf, gt, budget=64, k=5)
+    plan = plans.explain_str(df, mode="extended")
+    import re
+    # 'windowspecdefinition(...)' lists partition columns FIRST; in an
+    # unpartitioned window the first argument is a sort spec
+    # ('col ASC/DESC ...'). Assert every window in the plan partitions.
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "expected windows in the Q8 plan"
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, \
+            f"unpartitioned window in Q8 plan: {first_arg}"
