@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from candidategeneration_spark import entries, entrysql  # noqa: E402
+from candidategeneration_spark import entries, entrysql, pipelineops  # noqa: E402
 from candidategeneration_spark.quality import LM_SCALE  # noqa: E402
 
 
@@ -72,6 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": entries.q_ann_ivf_topk,
         "ann_cosine_topk": entries.q_ann_cosine_topk,  # rank-only (floats)
         "dedup_embedding": entries.q_dedup_embedding,
+        # training-data pipeline family (pipelineops.py)
+        "decontaminate": entries.q_decontaminate,
+        "pii_scrub": entries.q_pii_scrub,
+        "sample_split": entries.q_sample_split,
+        "pack_sequences": entries.q_pack_sequences,
+        "repetition_stats": entries.q_repetition_stats,
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
         "toplayer_topk": entries.q_toplayer_topk,
@@ -122,6 +128,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": entrysql.sql_ann_ivf_topk(),
         "ann_cosine_topk": entrysql.sql_ann_cosine_topk(),
         "dedup_embedding": entrysql.sql_dedup_embedding(),
+        "decontaminate": entrysql.sql_decontaminate(),
+        "pii_scrub": entrysql.sql_pii_scrub(),
+        "sample_split": entrysql.sql_sample_split(),
+        "pack_sequences": entrysql.sql_pack_sequences(
+            pipelineops.PACK_CAP, pipelineops.PACK_BUCKETS),
+        "repetition_stats": entrysql.sql_repetition_stats(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),
         "online_greedy_topk": entrysql.sql_online_greedy_topk(

@@ -427,3 +427,56 @@ def q_toplayer_topk(spark, sf_dir):
     res = quality.toplayer_topk(top, queries, k=TOPK)
     return res.select("qid", F.col("rank").cast("long").alias("rank"),
                       "doc_id", "score_q")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline family (pipelineops.py)
+# ---------------------------------------------------------------------------
+
+def decon_phrases(spark):
+    """Eval-benchmark phrase table: the fixed query set as contiguous
+    phrases (len >= 2 — single terms are term filtering, not phrase
+    decontamination)."""
+    rows = [(int(qid), " ".join(terms))
+            for qid, terms in QUERY_SET if len(terms) >= 2]
+    return spark.createDataFrame(rows, "qid long, phrase string")
+
+
+def q_decontaminate(spark, sf_dir):
+    from .pipelineops import decontaminate
+    return decontaminate(load_docs(spark, sf_dir), decon_phrases(spark))
+
+
+def dirty_text(docs):
+    """Deterministic PII-injection column for the pii_scrub gate: the raw
+    corpus is clean lowercase word-soup, so the gate derives a dirty twin
+    (email + 32-hex signature + 12-digit account id per doc) with the
+    SAME expression on both the Spark and the DuckDB side."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"), F.lit(".com sig "),
+            F.md5(F.col("text")), F.lit(" acct "),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    from .pipelineops import pii_scrub
+    return pii_scrub(dirty_text(load_docs(spark, sf_dir)))
+
+
+def q_sample_split(spark, sf_dir):
+    from .pipelineops import sample_split
+    return sample_split(load_docs(spark, sf_dir), stratum_col="lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    from .pipelineops import pack_sequences
+    return pack_sequences(load_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark, sf_dir):
+    from .pipelineops import repetition_stats
+    return repetition_stats(load_docs(spark, sf_dir))

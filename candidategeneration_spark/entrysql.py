@@ -1087,3 +1087,101 @@ def sql_toplayer_topk(budget: int = 4000, k: int = TOPK) -> str:
         " ORDER BY score_q DESC, doc_id) - 1 AS BIGINT) AS rank,"
         " doc_id, score_q FROM qscore2"
         f" QUALIFY rank < {k}")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline family oracles (pipelineops.py twins)
+# ---------------------------------------------------------------------------
+
+def sql_decontaminate() -> str:
+    vals = ", ".join(f"({int(qid)}, '{' '.join(terms)}')"
+                     for qid, terms in QUERY_SET if len(terms) >= 2)
+    return (
+        f"WITH {_TOK_CTE.strip()}, "
+        f"ph(qid, phrase) AS (SELECT * FROM (VALUES {vals}) v(qid, phrase)), "
+        "padded AS (SELECT doc_id,"
+        " ' ' || array_to_string(toks, ' ') || ' ' AS p FROM tok) "
+        "SELECT CAST(ph.qid AS BIGINT) AS qid, padded.doc_id AS doc_id "
+        "FROM padded JOIN ph ON contains(padded.p, ' ' || ph.phrase || ' ')")
+
+
+def sql_pii_scrub() -> str:
+    from .pipelineops import EMAIL_RE, HEX_RE, NUM_RE
+    dirty = ("text || ' contact user' || doc_id || '@mail' || (doc_id % 7)"
+             " || '.com sig ' || md5(text) || ' acct '"
+             " || lpad(CAST(doc_id AS VARCHAR), 12, '0')")
+    return (
+        f"WITH d AS (SELECT doc_id, {dirty} AS t0 FROM documents), "
+        f"s1 AS (SELECT doc_id,"
+        f" len(regexp_extract_all(t0, '{EMAIL_RE}')) AS n_email,"
+        f" regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM d), "
+        f"s2 AS (SELECT doc_id, n_email,"
+        f" len(regexp_extract_all(t1, '{HEX_RE}')) AS n_hex,"
+        f" regexp_replace(t1, '{HEX_RE}', '<HEXID>', 'g') AS t2 FROM s1), "
+        f"s3 AS (SELECT doc_id, n_email, n_hex,"
+        f" len(regexp_extract_all(t2, '{NUM_RE}')) AS n_num,"
+        f" regexp_replace(t2, '{NUM_RE}', '<NUM>', 'g') AS t3 FROM s2) "
+        "SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,"
+        " CAST(n_hex AS BIGINT) AS n_hex, CAST(n_num AS BIGINT) AS n_num,"
+        " md5(t3) AS scrub_md5 FROM s3")
+
+
+def sql_sample_split() -> str:
+    from .pipelineops import SPLIT_TRAIN_PM, SPLIT_VAL_PM
+    from .textops import MH_MULT, MH_PRIME
+    return (
+        "WITH d AS (SELECT doc_id, lang AS stratum,"
+        f" (doc_id * {MH_MULT}) % {MH_PRIME} AS h FROM documents), "
+        "r AS (SELECT doc_id, stratum, h,"
+        " row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rn,"
+        " count(*) OVER (PARTITION BY stratum) AS n FROM d) "
+        "SELECT doc_id, stratum, CAST(h AS BIGINT) AS h,"
+        f" CASE WHEN rn * 1000 <= n * {SPLIT_TRAIN_PM} THEN 'train'"
+        f" WHEN rn * 1000 <= n * {SPLIT_VAL_PM} THEN 'val'"
+        " ELSE 'test' END AS split FROM r")
+
+
+def sql_pack_sequences(cap: int, n_buckets: int) -> str:
+    return (
+        f"WITH RECURSIVE {_TOK_CTE.strip()}, "
+        f"b AS (SELECT doc_id, doc_id % {n_buckets} AS bucket,"
+        " len(toks) AS n_tokens, row_number() OVER"
+        f" (PARTITION BY doc_id % {n_buckets} ORDER BY doc_id) AS rn"
+        " FROM tok), "
+        "p AS ("
+        "SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq,"
+        " CAST(0 AS BIGINT) AS \"off\", n_tokens AS fill FROM b WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT b.bucket, b.rn, b.doc_id, b.n_tokens,"
+        f" CASE WHEN p.fill + b.n_tokens > {cap} THEN p.seq + 1"
+        " ELSE p.seq END,"
+        f" CASE WHEN p.fill + b.n_tokens > {cap} THEN CAST(0 AS BIGINT)"
+        " ELSE p.fill END,"
+        f" CASE WHEN p.fill + b.n_tokens > {cap} THEN b.n_tokens"
+        " ELSE p.fill + b.n_tokens END "
+        "FROM p JOIN b ON b.bucket = p.bucket AND b.rn = p.rn + 1) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(bucket AS BIGINT) AS bucket,"
+        " CAST(n_tokens AS BIGINT) AS n_tokens, CAST(seq AS BIGINT) AS seq,"
+        " CAST(\"off\" AS BIGINT) AS \"off\" FROM p")
+
+
+def sql_repetition_stats() -> str:
+    return (
+        f"WITH {_TOK_CTE.strip()}, "
+        "pos AS (SELECT doc_id, unnest(toks) AS term,"
+        " generate_subscripts(toks, 1) AS pos FROM tok), "
+        "bigr AS (SELECT a.doc_id, a.term || ' ' || b.term AS gram"
+        " FROM pos a JOIN pos b"
+        " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+        "cnt AS (SELECT doc_id, gram, count(*) AS c FROM bigr"
+        " GROUP BY doc_id, gram), "
+        "agg AS (SELECT doc_id, sum(c) AS nb,"
+        " sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS nd FROM cnt"
+        " GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,"
+        " CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup,"
+        " CASE WHEN COALESCE(nb, 0) > 0"
+        " THEN CAST(floor(1000000 * nd / nb) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS dup_frac_q"
+        " FROM documents d LEFT JOIN agg USING (doc_id)")

@@ -1,0 +1,204 @@
+"""Training-data pipeline operators beyond the dedup/quality families.
+
+What a 100 TB LLM-training-data pipeline runs between "raw corpus" and
+"training shards", expressed Spark-first with exact integer semantics so
+each op has a bit-identical DuckDB oracle (same design rules as textops.py):
+
+- :func:`decontaminate` — benchmark decontamination: flag documents that
+  contain an evaluation query as a contiguous token phrase. The phrase
+  table is tiny → broadcast; the corpus side is one token-join pass.
+- :func:`pii_scrub` — PII / secret redaction for code corpora (emails,
+  long hex ids, long digit runs) as pure JVM ``regexp_count`` /
+  ``regexp_replace`` column chains (no UDF; stays in codegen).
+- :func:`sample_split` — deterministic stratified train/val/test split:
+  multiplicative-hash order within each stratum, exact per-mille quotas.
+- :func:`pack_sequences` — greedy context-window packing: documents are
+  packed in doc_id order into sequences of ≤ ``cap`` tokens per hash
+  bucket (the distributed unit), the standard pre-tokenization step that
+  turns documents into fixed-budget training rows.
+- :func:`repetition_stats` — Gopher-style repetition quality signal:
+  per-document fraction of token-bigram occurrences whose bigram occurs
+  more than once in the document.
+
+Scale notes (100 TB):
+- decontaminate: phrases (eval benchmarks) are always small → broadcast
+  nested-loop against the padded token string; the padded string is a
+  projection of the tokenize pass the index build already does.
+- pii_scrub: embarrassingly parallel column math, no shuffle at all.
+- sample_split: one window per stratum — a giant stratum lands on few
+  tasks; for extreme strata use the same two-stage partial-rank + offset
+  merge the segment build uses (build.py skew path). The window-free
+  variant (pure hash threshold ``h % 1000 < 800``) needs no shuffle but
+  gives only approximate fractions; this exact-quota form is the gate.
+- pack_sequences: one shuffle on the bucket key; packing inside a bucket
+  is sequential by construction (greedy order dependence), so buckets are
+  the parallelism unit — size n_buckets ≫ executors. The kernel is
+  O(#sequences) searchsorted steps, vectorized otherwise.
+- repetition_stats: bigram counts shuffle on (doc_id, gram) — the same
+  key shape as the unigram tf pass; no skew beyond document length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textops import MH_MULT, MH_PRIME
+from .tokenizer import tokens_col
+
+# pii_scrub patterns — shared verbatim with the SQL oracle. Kept inside
+# the common Java-regex ∩ RE2 dialect (no lookaround, no backreferences)
+# so Spark (java.util.regex) and DuckDB (RE2) match identically.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+HEX_RE = r"\b[0-9a-f]{16,}\b"
+NUM_RE = r"[0-9]{9,}"
+
+# sample_split quotas (per mille) — train 800 / val 100 / test 100
+SPLIT_TRAIN_PM = 800
+SPLIT_VAL_PM = 900  # cumulative: (800, 900] is val, rest test
+
+# pack_sequences defaults for the gate
+PACK_CAP = 120
+PACK_BUCKETS = 8
+
+
+def decontaminate(docs: DataFrame, phrases: DataFrame,
+                  text_col: str = "text") -> DataFrame:
+    """(qid, doc_id) for every document containing an eval phrase.
+
+    ``phrases``: (qid long, phrase string) — terms joined by single
+    spaces, already in tokenizer-normal form. Containment is whole-token:
+    the document's token array is space-joined and space-padded, so
+    ``' merge sort '`` cannot match inside ``'mergesort'``.
+    """
+    padded = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit(" "),
+                 F.array_join(tokens_col(F.col(text_col)), " "),
+                 F.lit(" ")).alias("padded"))
+    needle = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+    return (padded.join(F.broadcast(phrases),
+                        F.col("padded").contains(needle))
+                  .select(F.col("qid").cast("long").alias("qid"), "doc_id"))
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails → long hex ids → long digit runs, in that order.
+
+    Returns (doc_id, n_email, n_hex, n_num, scrub_md5): per-stage match
+    counts (each counted on the text as it stands at that stage — an
+    email's hex-ish local part cannot double-count) and the md5 of the
+    fully redacted text, which pins the exact replacement bytes.
+    """
+    t0 = F.col(text_col)
+    n_email = F.regexp_count(t0, F.lit(EMAIL_RE))
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_hex = F.regexp_count(t1, F.lit(HEX_RE))
+    t2 = F.regexp_replace(t1, HEX_RE, "<HEXID>")
+    n_num = F.regexp_count(t2, F.lit(NUM_RE))
+    t3 = F.regexp_replace(t2, NUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_email.cast("long").alias("n_email"),
+        n_hex.cast("long").alias("n_hex"),
+        n_num.cast("long").alias("n_num"),
+        F.md5(t3).alias("scrub_md5"))
+
+
+def sample_split(docs: DataFrame, stratum_col: str = "lang") -> DataFrame:
+    """Deterministic stratified split: (doc_id, stratum, h, split).
+
+    Documents are ordered within each stratum by a multiplicative hash of
+    doc_id (ties broken by doc_id) and the first 80.0% go to train, the
+    next 10.0% to val, the rest to test — exact per-stratum quotas, fully
+    reproducible, no RNG state anywhere.
+    """
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        ((F.col("doc_id") * F.lit(MH_MULT)) % F.lit(MH_PRIME))
+        .cast("long").alias("h"))
+    w = Window.partitionBy("stratum")
+    wo = w.orderBy("h", "doc_id")
+    rn = F.row_number().over(wo)
+    n = F.count("*").over(w)
+    split = (F.when(rn * 1000 <= n * SPLIT_TRAIN_PM, "train")
+              .when(rn * 1000 <= n * SPLIT_VAL_PM, "val")
+              .otherwise("test"))
+    return d.select("doc_id", "stratum", "h", split.alias("split"))
+
+
+def pack_sequences(docs: DataFrame, cap: int = PACK_CAP,
+                   n_buckets: int = PACK_BUCKETS,
+                   text_col: str = "text") -> DataFrame:
+    """Greedy context-window packing per hash bucket.
+
+    Within each bucket, documents are visited in doc_id order and packed
+    into the current sequence while the token total stays ≤ ``cap``; a
+    document that would overflow starts the next sequence (an oversize
+    document becomes a singleton sequence). Returns
+    (doc_id, bucket, n_tokens, seq, off) with ``off`` = token offset of
+    the document inside its sequence.
+
+    The kernel is O(#sequences) numpy ``searchsorted`` steps on the
+    bucket's cumulative token counts — not per-row Python.
+    """
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % n_buckets).cast("long").alias("bucket"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        lens = pdf["n_tokens"].to_numpy(np.int64)
+        cum = np.cumsum(lens)
+        n = len(lens)
+        seq = np.empty(n, np.int64)
+        off = np.empty(n, np.int64)
+        start, base, s = 0, 0, 0
+        while start < n:
+            j = int(np.searchsorted(cum, base + cap, side="right"))
+            j = max(j, start + 1)  # an oversize doc still packs, alone
+            seq[start:j] = s
+            off[start:j] = cum[start:j] - lens[start:j] - base
+            base = int(cum[j - 1])
+            s += 1
+            start = j
+        pdf["seq"] = seq
+        pdf["off"] = off
+        return pdf
+
+    schema = "doc_id long, bucket long, n_tokens long, seq long, off long"
+    return d.groupBy("bucket").applyInPandas(pack, schema)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, n_dup, dup_frac_q): duplicate-bigram fraction.
+
+    ``n_dup`` counts bigram *occurrences* whose bigram occurs more than
+    once within the document (the Gopher duplicate-n-gram rule at n=2);
+    ``dup_frac_q`` = floor(1e6 · n_dup / n_bigrams), 0 for <2-token docs.
+    The bigram array is built JVM-side (slice + zip_with, stays in
+    codegen); only per-(doc, gram) counts shuffle.
+    """
+    toks = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       tokens_col(F.col(text_col)).alias("toks"))
+    grams = toks.select("doc_id", F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))").alias("grams"))
+    cnt = (grams.select("doc_id", F.explode("grams").alias("gram"))
+                .groupBy("doc_id", "gram").agg(F.count("*").alias("c")))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("nb"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("nd"))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    out = base.join(agg, "doc_id", "left")
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    nd = F.coalesce(F.col("nd"), F.lit(0))
+    frac = F.when(nb > 0, F.floor(F.lit(1_000_000) * nd / nb)).otherwise(0)
+    return out.select(
+        "doc_id", nb.cast("long").alias("n_bigrams"),
+        nd.cast("long").alias("n_dup"), frac.cast("long").alias("dup_frac_q"))

@@ -1,0 +1,170 @@
+"""Unit tests for the training-data pipeline family (pipelineops.py).
+
+The driver-mirror gate (test_entry_contract.py) checks each op against its
+DuckDB oracle on sf0.01; these tests pin the *semantics* on hand-built
+corpora where expected outputs are enumerable by eye or by a brute-force
+reference loop.
+"""
+
+import numpy as np
+import pytest
+
+from candidategeneration_spark import pipelineops as P
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_whole_token_phrases(spark):
+    docs = _docs(spark, [
+        (0, "merge sort is stable"),          # contains "merge sort"
+        (1, "mergesort is one word"),         # must NOT match inside token
+        (2, "we sort then merge"),            # wrong order -> no match
+        (3, "a merge sort and merge sort"),   # two hits still = one row
+        (4, ""),
+    ])
+    phrases = spark.createDataFrame(
+        [(0, "merge sort"), (1, "stable")], "qid long, phrase string")
+    got = {(r["qid"], r["doc_id"])
+           for r in P.decontaminate(docs, phrases).collect()}
+    assert got == {(0, 0), (0, 3), (1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_counts_and_redaction(spark):
+    hex32 = "0123456789abcdef0123456789abcdef"
+    docs = _docs(spark, [
+        (0, "mail me at bob.smith+x@corp.example.com thanks"),
+        (1, f"token {hex32} and acct 123456789012 end"),
+        (2, "short num 12345678 and short hex deadbeef stay"),
+        (3, "a@b.cd plus key deadbeefdeadbeef0042"),
+    ])
+    rows = {r["doc_id"]: r for r in P.pii_scrub(docs).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_hex"], rows[0]["n_num"]) == (1, 0, 0)
+    assert (rows[1]["n_email"], rows[1]["n_hex"], rows[1]["n_num"]) == (0, 1, 1)
+    # below-threshold runs are kept
+    assert (rows[2]["n_email"], rows[2]["n_hex"], rows[2]["n_num"]) == (0, 0, 0)
+    # 20-char hex id matches \b[0-9a-f]{16,}\b; a@b.cd is a valid email
+    assert (rows[3]["n_email"], rows[3]["n_hex"], rows[3]["n_num"]) == (1, 1, 0)
+    # the md5 pins the replacement bytes exactly
+    import hashlib
+    want = hashlib.md5(
+        b"mail me at <EMAIL> thanks").hexdigest()
+    assert rows[0]["scrub_md5"] == want
+
+
+# ---------------------------------------------------------------------------
+# sample_split
+# ---------------------------------------------------------------------------
+
+def test_sample_split_exact_quotas_and_determinism(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = P.sample_split(docs).toPandas()
+    for stratum, grp in out.groupby("stratum"):
+        n = len(grp)
+        counts = grp["split"].value_counts().to_dict()
+        n_train = sum(1 for rn in range(1, n + 1) if rn * 1000 <= n * 800)
+        n_val = sum(1 for rn in range(1, n + 1)
+                    if n * 800 < rn * 1000 <= n * 900)
+        assert counts.get("train", 0) == n_train
+        assert counts.get("val", 0) == n_val
+        assert counts.get("test", 0) == n - n_train - n_val
+    # deterministic: a second run assigns identical splits
+    out2 = P.sample_split(docs).toPandas()
+    m = out.set_index("doc_id")["split"]
+    m2 = out2.set_index("doc_id")["split"]
+    assert m.sort_index().equals(m2.sort_index())
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+def _greedy_ref(lens, cap):
+    """Row-at-a-time reference greedy (the oracle CTE's exact recurrence):
+    every doc after the bucket's first starts a new sequence iff adding it
+    would overflow; the first doc always opens sequence 0."""
+    seq, off, s, fill = [], [], 0, 0
+    for i, ln in enumerate(lens):
+        if i > 0 and fill + ln > cap:
+            s, fill = s + 1, 0
+        seq.append(s)
+        off.append(fill)
+        fill += ln
+    return seq, off
+
+
+def test_pack_sequences_matches_reference_greedy(spark):
+    rng = np.random.default_rng(7)
+    rows = [(int(i), "tok " * int(rng.integers(0, 60)))
+            for i in range(300)]
+    docs = _docs(spark, rows)
+    out = (P.pack_sequences(docs, cap=100, n_buckets=4)
+           .toPandas().sort_values(["bucket", "doc_id"]))
+    for bucket, grp in out.groupby("bucket"):
+        seq, off = _greedy_ref(grp["n_tokens"].tolist(), 100)
+        assert grp["seq"].tolist() == seq, f"bucket {bucket}"
+        assert grp["off"].tolist() == off, f"bucket {bucket}"
+        # invariant: every sequence fits the cap unless it is a singleton
+        for sq, g in grp.groupby("seq"):
+            assert g["n_tokens"].sum() <= 100 or len(g) == 1
+
+
+def test_pack_sequences_oversize_doc_is_singleton(spark):
+    docs = _docs(spark, [
+        (0, "a1 " * 50), (4, "b1 " * 300), (8, "c1 " * 50), (12, "d1 " * 60)])
+    out = (P.pack_sequences(docs, cap=100, n_buckets=1)
+           .toPandas().sort_values("doc_id"))
+    # the 300-token doc is a singleton sequence; the next sequence starts
+    # fresh, and 50 + 60 > 100 so docs 8 and 12 do not share either
+    assert out["seq"].tolist() == [0, 1, 2, 3]
+    assert out["off"].tolist() == [0, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_hand_case(spark):
+    docs = _docs(spark, [
+        (0, "ab cd ab cd ab"),   # bigrams: ab-cd x2, cd-ab x2 -> all dup
+        (1, "aa bb cc dd"),      # 3 bigrams, all unique
+        (2, "xx"),               # <2 tokens -> zeros
+        (3, ""),
+    ])
+    rows = {r["doc_id"]: r for r in P.repetition_stats(docs).collect()}
+    assert (rows[0]["n_bigrams"], rows[0]["n_dup"]) == (4, 4)
+    assert rows[0]["dup_frac_q"] == 1_000_000
+    assert (rows[1]["n_bigrams"], rows[1]["n_dup"]) == (3, 0)
+    assert rows[1]["dup_frac_q"] == 0
+    assert (rows[2]["n_bigrams"], rows[2]["dup_frac_q"]) == (0, 0)
+    assert (rows[3]["n_bigrams"], rows[3]["dup_frac_q"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# plan shape: the phrase side broadcasts; packing shuffles once on bucket
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_broadcasts_phrases(spark):
+    docs = _docs(spark, [(0, "a1 b1"), (1, "b1 c1")])
+    phrases = spark.createDataFrame([(0, "a1 b1")], "qid long, phrase string")
+    plan = P.decontaminate(docs, phrases)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
+        plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    docs = _docs(spark, [(i, "tok tok") for i in range(20)])
+    plan = P.pack_sequences(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead"), plan
