@@ -289,3 +289,107 @@ def near_dup_pairs(emb: DataFrame, num: int = 49, den: int = 400,
                     F.lit(int(num)) * F.col("na2") * F.col("nb2")))
             .select("vec_id_a", "vec_id_b",
                     F.col("dot_q").cast("long").alias("dot_q")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third scale path: FAISS-PQ shape.
+# Vectors are split into PQ_M contiguous subspaces; each subspace gets its
+# own deterministic integer k-means codebook (same recipe as the IVF
+# coarse quantizer: init from the first PQ_KSUB vectors, PQ_ITERS Lloyd
+# iterations, exact int squared-L2, (dist, cid) tie-break, floor-mean
+# updates). A vector is stored as PQ_M small codes; queries score by
+# Asymmetric Distance Computation (ADC): one tiny (probe, subspace, code)
+# dot-product table — n_probes·M·ksub rows, always broadcastable — joined
+# to the codes on (m, code) and summed per (qid, vec_id). At 100 TB the
+# corpus side carries M bytes per vector instead of the raw embedding and
+# never shuffles raw vectors at query time.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_DSUB = 16      # dims per subspace (PQ_M * PQ_DSUB = 64)
+PQ_KSUB = 8       # codes per subspace codebook
+PQ_ITERS = 2
+
+
+def _subspaces(q: DataFrame, m_count: int = PQ_M,
+               dsub: int = PQ_DSUB) -> DataFrame:
+    """(vec_id, m, sv): the m-th length-``dsub`` slice of each qvec."""
+    parts = [q.select("vec_id", F.lit(m).cast("long").alias("m"),
+                      F.slice("qvec", m * dsub + 1, dsub).alias("sv"))
+             for m in range(m_count)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _passign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, m, cid): nearest sub-centroid per subspace, exact int
+    squared-L2, ties to the smallest cid."""
+    from pyspark.sql import Window
+    d = (sub.join(F.broadcast(cents), "m")
+            .select("vec_id", "m", "cid",
+                    _sqdist(F.col("sv"), F.col("cv")).alias("dist")))
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("dist"), F.asc("cid"))
+    return (d.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1).select("vec_id", "m", "cid"))
+
+
+def pq_codebooks(emb: DataFrame, m_count: int = PQ_M, dsub: int = PQ_DSUB,
+                 ksub: int = PQ_KSUB, iters: int = PQ_ITERS) -> DataFrame:
+    """(m, cid, cv array<long>): per-subspace k-means codebooks."""
+    sub = _subspaces(quantized(emb).select("vec_id", "qvec"), m_count, dsub)
+    cents = sub.where(F.col("vec_id") < ksub).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+    for _ in range(iters):
+        assigned = _passign(sub, cents)
+        comp = (sub.join(assigned, ["vec_id", "m"])
+                   .select("m", "cid", F.posexplode("sv").alias("i", "x")))
+        upd = (comp.groupBy("m", "cid", "i")
+               .agg(F.floor(F.sum("x").cast("double") / F.count("*"))
+                    .cast("long").alias("cx")))
+        cents = (upd.groupBy("m", "cid")
+                 .agg(F.array_sort(F.collect_list(F.struct("i", "cx")))
+                      .alias("s"))
+                 .select("m", "cid", F.col("s.cx").alias("cv")))
+    return cents
+
+
+def pq_codes(emb: DataFrame, m_count: int = PQ_M, dsub: int = PQ_DSUB,
+             ksub: int = PQ_KSUB, iters: int = PQ_ITERS) -> DataFrame:
+    """(vec_id, m, code): the stored PQ encoding — M codes per vector."""
+    sub = _subspaces(quantized(emb).select("vec_id", "qvec"), m_count, dsub)
+    books = pq_codebooks(emb, m_count, dsub, ksub, iters)
+    return _passign(sub, books).select(
+        "vec_id", "m", F.col("cid").cast("long").alias("code"))
+
+
+def pq_adc_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
+                m_count: int = PQ_M, dsub: int = PQ_DSUB,
+                ksub: int = PQ_KSUB, iters: int = PQ_ITERS) -> DataFrame:
+    """(qid, rank, vec_id, score_q): ADC top-k over PQ codes.
+
+    score_q = Σ_m dot(query subvector m, codebook[m][code_m(vec)]) — the
+    PQ approximation of the full dot product. The per-query work against
+    the corpus is ONE broadcast-hash equi-join of the code table with the
+    n_probes·M·ksub ADC table plus a per-(qid, vec_id) sum — no raw
+    vectors move. Approximate by construction (same contract as
+    lsh_topk / ivf_topk: recall measured in test_ann_recall)."""
+    from pyspark.sql import Window
+    q = quantized(emb).select("vec_id", "qvec")
+    books = pq_codebooks(emb, m_count, dsub, ksub, iters)
+    codes = pq_codes(emb, m_count, dsub, ksub, iters)
+    probes = _subspaces(q.where(F.col("vec_id") < n_probes), m_count, dsub) \
+        .select(F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv"))
+    adc = (probes.join(books, "m")
+           .select("qid", "m", F.col("cid").alias("code"),
+                   _int_dot(F.col("qsv"), F.col("cv")).alias("t")))
+    scored = (codes.join(F.broadcast(adc), ["m", "code"])
+              .where(F.col("vec_id") != F.col("qid"))
+              .groupBy("qid", "vec_id")
+              .agg(F.sum("t").cast("long").alias("score_q")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < topk)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "score_q"))

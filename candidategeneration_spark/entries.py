@@ -480,3 +480,15 @@ def q_pack_sequences(spark, sf_dir):
 def q_repetition_stats(spark, sf_dir):
     from .pipelineops import repetition_stats
     return repetition_stats(load_docs(spark, sf_dir))
+
+
+def q_ann_pq_codes(spark, sf_dir):
+    from .annops import pq_codes
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_codes(emb)
+
+
+def q_ann_pq_adc_topk(spark, sf_dir):
+    from .annops import pq_adc_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(emb)

@@ -1185,3 +1185,78 @@ def sql_repetition_stats() -> str:
         " THEN CAST(floor(1000000 * nd / nb) AS BIGINT)"
         " ELSE CAST(0 AS BIGINT) END AS dup_frac_q"
         " FROM documents d LEFT JOIN agg USING (doc_id)")
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization oracles (annops PQ twins)
+# ---------------------------------------------------------------------------
+
+def _pq_prefix(m_count: int = 4, dsub: int = 16, ksub: int = 8,
+               iters: int = 2) -> str:
+    """CTE chain replaying annops' per-subspace deterministic k-means:
+    identical recipe to _ivf_prefix with the subspace id ``m`` added to
+    every key (init from the first ksub vectors' slices, unrolled Lloyd
+    iterations, (dist, cid) tie-break, floor-mean updates)."""
+    sq = (f"list_sum(list_transform(range(1, {dsub + 1}),"
+          " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))")
+    parts = [
+        _QVEC_CTE,
+        f"ms AS (SELECT range AS m FROM range({m_count}))",
+        ("sub AS (SELECT q.vec_id, ms.m,"
+         f" list_transform(range(1, {dsub + 1}),"
+         f" i -> q.v[CAST(ms.m * {dsub} AS BIGINT) + i]) AS sv"
+         " FROM qv q CROSS JOIN ms)"),
+        (f"pc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub"
+         f" WHERE vec_id < {ksub})")]
+    for t in range(iters + 1):
+        parts.append(
+            f"pd{t} AS (SELECT s.vec_id, s.m, c.cid, {sq} AS dist"
+            f" FROM sub s JOIN pc{t} c USING (m))")
+        parts.append(
+            f"pa{t} AS (SELECT vec_id, m, cid FROM ("
+            "SELECT vec_id, m, cid, row_number() OVER"
+            " (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn"
+            f" FROM pd{t}) WHERE rn = 1)")
+        if t == iters:
+            break
+        parts.append(
+            f"pcomp{t} AS (SELECT a.m, a.cid, unnest(s.sv) AS x,"
+            " generate_subscripts(s.sv, 1) AS i"
+            f" FROM sub s JOIN pa{t} a ON a.vec_id = s.vec_id"
+            " AND a.m = s.m)")
+        parts.append(
+            f"pupd{t} AS (SELECT m, cid, i,"
+            " CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)"
+            f" AS cx FROM pcomp{t} GROUP BY m, cid, i)")
+        parts.append(
+            f"pc{t + 1} AS (SELECT m, cid, list(cx ORDER BY i) AS cv"
+            f" FROM pupd{t} GROUP BY m, cid)")
+    return ", ".join(parts)
+
+
+def sql_ann_pq_codes(m_count: int = 4, dsub: int = 16, ksub: int = 8,
+                     iters: int = 2) -> str:
+    return (f"WITH {_pq_prefix(m_count, dsub, ksub, iters)} "
+            "SELECT vec_id, CAST(m AS BIGINT) AS m,"
+            f" CAST(cid AS BIGINT) AS code FROM pa{iters}")
+
+
+def sql_ann_pq_adc_topk(n_probes: int = 10, topk: int = 10,
+                        m_count: int = 4, dsub: int = 16, ksub: int = 8,
+                        iters: int = 2) -> str:
+    dot = (f"list_sum(list_transform(range(1, {dsub + 1}),"
+           " i -> pr.qsv[i] * c.cv[i]))")
+    return (
+        f"WITH {_pq_prefix(m_count, dsub, ksub, iters)}, "
+        "pr AS (SELECT s.vec_id AS qid, s.m, s.sv AS qsv FROM sub s"
+        f" WHERE s.vec_id < {n_probes}), "
+        f"adc AS (SELECT pr.qid, pr.m, c.cid AS code, {dot} AS t"
+        f" FROM pr JOIN pc{iters} c USING (m)), "
+        "scored AS (SELECT a.qid, k.vec_id,"
+        " CAST(sum(a.t) AS BIGINT) AS score_q"
+        f" FROM pa{iters} k JOIN adc a ON a.m = k.m AND a.code = k.cid"
+        " WHERE k.vec_id <> a.qid GROUP BY a.qid, k.vec_id) "
+        "SELECT qid, CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, vec_id) - 1 AS BIGINT) AS rank,"
+        " vec_id, score_q FROM scored"
+        f" QUALIFY rank < {topk}")

@@ -119,3 +119,36 @@ def test_near_dup_pairs_recall_and_precision(spark):
     assert len(truth) > 30  # clusters actually produced near-dups
     recall = len(got) / len(truth)
     assert recall >= 0.6, f"banding recall {recall:.2f}"
+
+
+def test_pq_adc_topk_recall_on_planted_clusters(spark):
+    """PQ/ADC compresses each vector to PQ_M codes; on planted clusters
+    the codebooks capture cluster structure, so ADC ranking must still
+    recover most true neighbors (FAISS-PQ recall contract)."""
+    per = 10
+    emb = _clustered_emb(spark, per_cluster=per)
+    k = per - 1
+    probes = 10
+    brute = annops.brute_topk(emb, n_probes=probes, k=k).collect()
+    pq = annops.pq_adc_topk(emb, n_probes=probes, topk=k).collect()
+    exact, got = {}, {}
+    for r in brute:
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in pq:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q])
+               for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"PQ/ADC mean recall {mean_recall:.2f}"
+
+
+def test_pq_codes_shape(spark):
+    """Every vector gets exactly PQ_M codes, each < PQ_KSUB."""
+    emb = _clustered_emb(spark, n_clusters=5, per_cluster=4)
+    rows = annops.pq_codes(emb).collect()
+    assert len(rows) == 20 * annops.PQ_M
+    assert all(0 <= r["code"] < annops.PQ_KSUB for r in rows)
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], set()).add(r["m"])
+    assert all(ms == set(range(annops.PQ_M)) for ms in per_vec.values())
