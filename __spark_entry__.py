@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": entries.q_ann_ivf_topk,
         "ann_pq_codes": entries.q_ann_pq_codes,
         "ann_pq_adc_topk": entries.q_ann_pq_adc_topk,
+        "ann_ivfpq_codes": entries.q_ann_ivfpq_codes,
+        "ann_ivfpq_topk": entries.q_ann_ivfpq_topk,
         "ann_cosine_topk": entries.q_ann_cosine_topk,  # rank-only (floats)
         "dedup_embedding": entries.q_dedup_embedding,
         # training-data pipeline family (pipelineops.py)
@@ -130,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": entrysql.sql_ann_ivf_topk(),
         "ann_pq_codes": entrysql.sql_ann_pq_codes(),
         "ann_pq_adc_topk": entrysql.sql_ann_pq_adc_topk(),
+        "ann_ivfpq_codes": entrysql.sql_ann_ivfpq_codes(),
+        "ann_ivfpq_topk": entrysql.sql_ann_ivfpq_topk(),
         "ann_cosine_topk": entrysql.sql_ann_cosine_topk(),
         "dedup_embedding": entrysql.sql_dedup_embedding(),
         "decontaminate": entrysql.sql_decontaminate(),

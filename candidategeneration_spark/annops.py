@@ -335,10 +335,11 @@ def _passign(sub: DataFrame, cents: DataFrame) -> DataFrame:
              .where(F.col("rn") == 1).select("vec_id", "m", "cid"))
 
 
-def pq_codebooks(emb: DataFrame, m_count: int = PQ_M, dsub: int = PQ_DSUB,
-                 ksub: int = PQ_KSUB, iters: int = PQ_ITERS) -> DataFrame:
-    """(m, cid, cv array<long>): per-subspace k-means codebooks."""
-    sub = _subspaces(quantized(emb).select("vec_id", "qvec"), m_count, dsub)
+def _pq_train(sub: DataFrame, ksub: int = PQ_KSUB,
+              iters: int = PQ_ITERS) -> DataFrame:
+    """(m, cid, cv): per-subspace k-means codebooks trained on an
+    arbitrary (vec_id, m, sv) subspace frame (raw slices for flat PQ,
+    residual slices for IVF-PQ)."""
     cents = sub.where(F.col("vec_id") < ksub).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
     for _ in range(iters):
@@ -353,6 +354,13 @@ def pq_codebooks(emb: DataFrame, m_count: int = PQ_M, dsub: int = PQ_DSUB,
                       .alias("s"))
                  .select("m", "cid", F.col("s.cx").alias("cv")))
     return cents
+
+
+def pq_codebooks(emb: DataFrame, m_count: int = PQ_M, dsub: int = PQ_DSUB,
+                 ksub: int = PQ_KSUB, iters: int = PQ_ITERS) -> DataFrame:
+    """(m, cid, cv array<long>): per-subspace k-means codebooks."""
+    sub = _subspaces(quantized(emb).select("vec_id", "qvec"), m_count, dsub)
+    return _pq_train(sub, ksub, iters)
 
 
 def pq_codes(emb: DataFrame, m_count: int = PQ_M, dsub: int = PQ_DSUB,
@@ -390,6 +398,98 @@ def pq_adc_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
               .agg(F.sum("t").cast("long").alias("score_q")))
     w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < topk)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "score_q"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite — the FAISS-IVFPQ shape, the index actually deployed at
+# 100 TB: the IVF coarse quantizer prunes the corpus to nprobe cells, and
+# within them vectors are represented by PQ codes of their RESIDUAL
+# (qvec - centroid). Inner-product scoring decomposes exactly:
+#   dot(q, x) ≈ dot(q, cv[cell(x)]) + Σ_m dot(q_m, codebook[m][code_m(x)])
+# (first term per probed cell, second from one broadcast ADC table), so
+# query time touches M bytes per candidate and no raw corpus vector ever
+# moves. All arithmetic stays in the exact-integer contract, so the DuckDB
+# oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _residuals(q: DataFrame, cents: DataFrame, cells: DataFrame) -> DataFrame:
+    """(vec_id, qvec): residual vectors qvec - centroid[cell]."""
+    return (q.join(cells, "vec_id").join(F.broadcast(cents), "cid")
+            .select("vec_id",
+                    F.zip_with("qvec", "cv",
+                               lambda x, y: x - y).alias("qvec")))
+
+
+def ivfpq_codes(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
+                m_count: int = PQ_M, dsub: int = PQ_DSUB,
+                ksub: int = PQ_KSUB, pq_iters: int = PQ_ITERS) -> DataFrame:
+    """(vec_id, cid, m, code): the stored IVF-PQ encoding — coarse cell id
+    plus M residual codes per vector."""
+    q = quantized(emb).select("vec_id", "qvec")
+    cents = ivf_centroids(emb, k, iters)
+    cells = _assign(q, cents)
+    rsub = _subspaces(_residuals(q, cents, cells), m_count, dsub)
+    books = _pq_train(rsub, ksub, pq_iters)
+    codes = _passign(rsub, books).select(
+        "vec_id", "m", F.col("cid").alias("code"))
+    return (codes.join(cells, "vec_id")
+            .select("vec_id", F.col("cid").cast("long").alias("cid"), "m",
+                    F.col("code").cast("long").alias("code")))
+
+
+def ivfpq_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
+               k: int = IVF_K, iters: int = IVF_ITERS,
+               nprobe: int = IVF_NPROBE, m_count: int = PQ_M,
+               dsub: int = PQ_DSUB, ksub: int = PQ_KSUB,
+               pq_iters: int = PQ_ITERS) -> DataFrame:
+    """(qid, rank, vec_id, score_q): IVF-PQ ADC top-k.
+
+    score_q = dot(q, centroid[cell]) + Σ_m dot(q_m, residual codebook
+    entry) over members of the query's ``nprobe`` nearest cells only.
+    Scale shape: candidates come from the cell equi-join (IVF pruning),
+    each candidate costs one M-row broadcast ADC join (PQ compression) —
+    never a cross join, never a raw-vector shuffle. Approximate by
+    construction (recall measured in test_ann_recall)."""
+    from pyspark.sql import Window
+    q = quantized(emb).select("vec_id", "qvec")
+    cents = ivf_centroids(emb, k, iters)
+    cells = _assign(q, cents)
+    rsub = _subspaces(_residuals(q, cents, cells), m_count, dsub)
+    books = _pq_train(rsub, ksub, pq_iters)
+    codes = _passign(rsub, books).select(
+        "vec_id", "m", F.col("cid").alias("code"))
+
+    probes = q.where(F.col("vec_id") < n_probes) \
+              .select(F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"))
+    pcd = (probes.crossJoin(F.broadcast(cents))
+           .select("qid", "qv", "cid",
+                   _sqdist(F.col("qv"), F.col("cv")).alias("dist"),
+                   _int_dot(F.col("qv"), F.col("cv")).alias("term1")))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
+    pcell = (pcd.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= nprobe).select("qid", "cid", "term1"))
+
+    qsub = _subspaces(
+        q.where(F.col("vec_id") < n_probes), m_count, dsub) \
+        .select(F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv"))
+    adc = (qsub.join(books, "m")
+           .select("qid", "m", F.col("cid").alias("code"),
+                   _int_dot(F.col("qsv"), F.col("cv")).alias("t")))
+
+    cand = (cells.join(F.broadcast(pcell), "cid")
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id", "term1"))
+    scored = (cand.join(codes, "vec_id")
+              .join(F.broadcast(adc), ["qid", "m", "code"])
+              .groupBy("qid", "vec_id")
+              .agg((F.max("term1") + F.sum("t")).cast("long")
+                   .alias("score_q")))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w2) - 1)
             .where(F.col("rank") < topk)
             .select("qid", F.col("rank").cast("long").alias("rank"),
                     "vec_id", "score_q"))

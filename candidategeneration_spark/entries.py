@@ -492,3 +492,15 @@ def q_ann_pq_adc_topk(spark, sf_dir):
     from .annops import pq_adc_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pq_adc_topk(emb)
+
+
+def q_ann_ivfpq_codes(spark, sf_dir):
+    from .annops import ivfpq_codes
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_codes(emb)
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    from .annops import ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(emb)

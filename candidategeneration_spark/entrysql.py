@@ -1197,17 +1197,25 @@ def _pq_prefix(m_count: int = 4, dsub: int = 16, ksub: int = 8,
     identical recipe to _ivf_prefix with the subspace id ``m`` added to
     every key (init from the first ksub vectors' slices, unrolled Lloyd
     iterations, (dist, cid) tie-break, floor-mean updates)."""
-    sq = (f"list_sum(list_transform(range(1, {dsub + 1}),"
-          " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))")
     parts = [
         _QVEC_CTE,
         f"ms AS (SELECT range AS m FROM range({m_count}))",
         ("sub AS (SELECT q.vec_id, ms.m,"
          f" list_transform(range(1, {dsub + 1}),"
          f" i -> q.v[CAST(ms.m * {dsub} AS BIGINT) + i]) AS sv"
-         " FROM qv q CROSS JOIN ms)"),
-        (f"pc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub"
-         f" WHERE vec_id < {ksub})")]
+         " FROM qv q CROSS JOIN ms)")]
+    parts += _pq_lloyd_parts(dsub, ksub, iters)
+    return ", ".join(parts)
+
+
+def _pq_lloyd_parts(dsub: int, ksub: int, iters: int) -> list:
+    """The per-subspace Lloyd-iteration CTEs over an existing ``sub``
+    (vec_id, m, sv) CTE — shared by the flat-PQ prefix (sub = raw slices)
+    and the IVF-PQ prefix (sub = residual slices)."""
+    sq = (f"list_sum(list_transform(range(1, {dsub + 1}),"
+          " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))")
+    parts = [(f"pc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub"
+              f" WHERE vec_id < {ksub})")]
     for t in range(iters + 1):
         parts.append(
             f"pd{t} AS (SELECT s.vec_id, s.m, c.cid, {sq} AS dist"
@@ -1231,7 +1239,7 @@ def _pq_prefix(m_count: int = 4, dsub: int = 16, ksub: int = 8,
         parts.append(
             f"pc{t + 1} AS (SELECT m, cid, list(cx ORDER BY i) AS cv"
             f" FROM pupd{t} GROUP BY m, cid)")
-    return ", ".join(parts)
+    return parts
 
 
 def sql_ann_pq_codes(m_count: int = 4, dsub: int = 16, ksub: int = 8,
@@ -1256,6 +1264,83 @@ def sql_ann_pq_adc_topk(n_probes: int = 10, topk: int = 10,
         " CAST(sum(a.t) AS BIGINT) AS score_q"
         f" FROM pa{iters} k JOIN adc a ON a.m = k.m AND a.code = k.cid"
         " WHERE k.vec_id <> a.qid GROUP BY a.qid, k.vec_id) "
+        "SELECT qid, CAST(row_number() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, vec_id) - 1 AS BIGINT) AS rank,"
+        " vec_id, score_q FROM scored"
+        f" QUALIFY rank < {topk}")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite oracles (annops.ivfpq_* twins)
+# ---------------------------------------------------------------------------
+
+def _ivfpq_prefix(k: int = 8, iters: int = 2, m_count: int = 4,
+                  dsub: int = 16, ksub: int = 8, pq_iters: int = 2,
+                  dim: int = 64) -> str:
+    """IVF coarse-quantizer CTEs (cents{iters}, a{iters}) + residual
+    vectors + the per-subspace Lloyd loop over RESIDUAL slices — the
+    training chain behind annops.ivfpq_codes/ivfpq_topk."""
+    parts = [_ivf_prefix(k, iters, dim)]
+    parts.append(
+        f"res AS (SELECT q.vec_id, list_transform(range(1, {dim + 1}),"
+        " i -> q.v[i] - c.cv[i]) AS rv"
+        f" FROM qv q JOIN a{iters} a USING (vec_id)"
+        f" JOIN cents{iters} c USING (cid))")
+    parts.append(f"ms AS (SELECT range AS m FROM range({m_count}))")
+    parts.append(
+        "sub AS (SELECT r.vec_id, ms.m,"
+        f" list_transform(range(1, {dsub + 1}),"
+        f" i -> r.rv[CAST(ms.m * {dsub} AS BIGINT) + i]) AS sv"
+        " FROM res r CROSS JOIN ms)")
+    parts += _pq_lloyd_parts(dsub, ksub, pq_iters)
+    return ", ".join(parts)
+
+
+def sql_ann_ivfpq_codes(k: int = 8, iters: int = 2, m_count: int = 4,
+                        dsub: int = 16, ksub: int = 8,
+                        pq_iters: int = 2) -> str:
+    """Oracle for annops.ivfpq_codes: coarse cell id + M residual codes."""
+    return (f"WITH {_ivfpq_prefix(k, iters, m_count, dsub, ksub, pq_iters)} "
+            "SELECT p.vec_id, CAST(a.cid AS BIGINT) AS cid,"
+            " CAST(p.m AS BIGINT) AS m, CAST(p.cid AS BIGINT) AS code"
+            f" FROM pa{pq_iters} p JOIN a{iters} a USING (vec_id)")
+
+
+def sql_ann_ivfpq_topk(n_probes: int = 10, topk: int = 10, k: int = 8,
+                       iters: int = 2, nprobe: int = 2, m_count: int = 4,
+                       dsub: int = 16, ksub: int = 8,
+                       pq_iters: int = 2, dim: int = 64) -> str:
+    """Oracle for annops.ivfpq_topk: probe nprobe nearest cells; score =
+    dot(q, centroid) + Σ_m ADC(query slice, residual codebook entry)."""
+    sqp = (f"list_sum(list_transform(range(1, {dim + 1}),"
+           " i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])))")
+    dotp = (f"list_sum(list_transform(range(1, {dim + 1}),"
+            " i -> q.v[i] * c.cv[i]))")
+    adot = (f"list_sum(list_transform(range(1, {dsub + 1}),"
+            " i -> qs.qsv[i] * c.cv[i]))")
+    return (
+        f"WITH {_ivfpq_prefix(k, iters, m_count, dsub, ksub, pq_iters)}, "
+        "pcell AS (SELECT qid, cid, term1 FROM ("
+        f"  SELECT q.vec_id AS qid, c.cid, {sqp} AS dist, {dotp} AS term1,"
+        "   row_number() OVER (PARTITION BY q.vec_id"
+        "     ORDER BY dist, cid) AS rn"
+        f"  FROM qv q CROSS JOIN cents{iters} c"
+        f"  WHERE q.vec_id < {n_probes}) WHERE rn <= {nprobe}), "
+        "qsub AS (SELECT q.vec_id AS qid, ms.m,"
+        f" list_transform(range(1, {dsub + 1}),"
+        f" i -> q.v[CAST(ms.m * {dsub} AS BIGINT) + i]) AS qsv"
+        f" FROM qv q CROSS JOIN ms WHERE q.vec_id < {n_probes}), "
+        f"adc AS (SELECT qs.qid, qs.m, c.cid AS code, {adot} AS t"
+        f" FROM qsub qs JOIN pc{pq_iters} c USING (m)), "
+        "cand AS (SELECT p.qid, a.vec_id, p.term1"
+        f" FROM a{iters} a JOIN pcell p USING (cid)"
+        " WHERE a.vec_id <> p.qid), "
+        "scored AS (SELECT cd.qid, cd.vec_id,"
+        " CAST(max(cd.term1) + sum(ad.t) AS BIGINT) AS score_q"
+        f" FROM cand cd JOIN pa{pq_iters} pk ON pk.vec_id = cd.vec_id"
+        " JOIN adc ad ON ad.qid = cd.qid AND ad.m = pk.m"
+        " AND ad.code = pk.cid"
+        " GROUP BY cd.qid, cd.vec_id) "
         "SELECT qid, CAST(row_number() OVER (PARTITION BY qid"
         " ORDER BY score_q DESC, vec_id) - 1 AS BIGINT) AS rank,"
         " vec_id, score_q FROM scored"

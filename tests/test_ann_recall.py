@@ -152,3 +152,35 @@ def test_pq_codes_shape(spark):
     for r in rows:
         per_vec.setdefault(r["vec_id"], set()).add(r["m"])
     assert all(ms == set(range(annops.PQ_M)) for ms in per_vec.values())
+
+
+def test_ivfpq_topk_recall_on_planted_clusters(spark):
+    """IVF-PQ composite: coarse cells prune, residual PQ codes score.
+    On planted clusters both stages align with cluster structure, so
+    ADC-over-residuals ranking must recover most true neighbors."""
+    per = 10
+    emb = _clustered_emb(spark, per_cluster=per)
+    k = per - 1
+    probes = 10
+    brute = annops.brute_topk(emb, n_probes=probes, k=k).collect()
+    ivfpq = annops.ivfpq_topk(emb, n_probes=probes, topk=k).collect()
+    exact, got = {}, {}
+    for r in brute:
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in ivfpq:
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q])
+               for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"IVF-PQ mean recall {mean_recall:.2f}"
+
+
+def test_ivfpq_codes_shape(spark):
+    """Every vector gets one coarse cell + PQ_M residual codes, and the
+    cell ids agree with the standalone inverted file (ivf_cells)."""
+    emb = _clustered_emb(spark, n_clusters=5, per_cluster=4)
+    rows = annops.ivfpq_codes(emb).collect()
+    assert len(rows) == 20 * annops.PQ_M
+    assert all(0 <= r["code"] < annops.PQ_KSUB for r in rows)
+    cells = {r["vec_id"]: r["cid"] for r in annops.ivf_cells(emb).collect()}
+    assert all(r["cid"] == cells[r["vec_id"]] for r in rows)
