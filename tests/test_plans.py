@@ -147,3 +147,19 @@ def test_online_greedy_windows_are_per_query(spark, docs_sf001):
     for first_arg in specs:
         assert " ASC" not in first_arg and " DESC" not in first_arg, \
             f"unpartitioned window in Q8 plan: {first_arg}"
+
+
+def test_pq_scoring_join_is_broadcast_equi_join(spark):
+    """PQ/ADC and IVF-PQ: the per-candidate scoring join (code table ×
+    ADC table) must be a broadcast hash equi-join, and the corpus side
+    must never enter a CartesianProduct — the only nested-loop joins
+    allowed are the broadcast of the tiny centroid/plane tables that the
+    deterministic k-means needs."""
+    from candidategeneration_spark import annops
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    for df in (annops.pq_adc_topk(emb), annops.ivfpq_topk(emb)):
+        plan = plans.explain_str(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "NestedLoopJoin" not in plan.replace(
+            "BroadcastNestedLoopJoin", ""), plan
