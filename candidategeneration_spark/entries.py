@@ -504,3 +504,8 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     from .annops import ivfpq_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivfpq_topk(emb)
+
+
+def q_duplicate_spans(spark, sf_dir):
+    from .pipelineops import duplicate_spans
+    return duplicate_spans(load_docs(spark, sf_dir))

@@ -1345,3 +1345,33 @@ def sql_ann_ivfpq_topk(n_probes: int = 10, topk: int = 10, k: int = 8,
         " ORDER BY score_q DESC, vec_id) - 1 AS BIGINT) AS rank,"
         " vec_id, score_q FROM scored"
         f" QUALIFY rank < {topk}")
+
+
+def sql_duplicate_spans(k: int = 8) -> str:
+    """Oracle for pipelineops.duplicate_spans: duplicated length-k token
+    windows (cross-document), exact interval-union coverage via lead()."""
+    return (
+        f"WITH {_TOK_CTE.strip()}, "
+        "wpos AS (SELECT doc_id, toks,"
+        f" unnest(range(1, greatest(len(toks) - {k} + 1, 0) + 1)) AS pos"
+        " FROM tok), "
+        "wg AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,"
+        f" array_to_string(list_slice(toks, pos, pos + {k} - 1), ' ')"
+        " AS gram FROM wpos), "
+        "gdf AS (SELECT gram, count(DISTINCT doc_id) AS gdf FROM wg"
+        " GROUP BY gram), "
+        "dup AS (SELECT w.doc_id, w.pos FROM wg w JOIN gdf g USING (gram)"
+        " WHERE g.gdf >= 2), "
+        "cov AS (SELECT doc_id, pos, lead(pos) OVER"
+        " (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dup), "
+        "agg AS (SELECT doc_id, count(*) AS ndw,"
+        f" sum(least({k}, COALESCE(nxt - pos, {k}))) AS covered"
+        " FROM cov GROUP BY doc_id), "
+        "base AS (SELECT doc_id, len(toks) AS n_tokens,"
+        f" greatest(len(toks) - {k} + 1, 0) AS n_windows FROM tok) "
+        "SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows,"
+        " CAST(COALESCE(a.ndw, 0) AS BIGINT) AS n_dup_windows,"
+        " CASE WHEN b.n_tokens > 0 THEN CAST(floor(1000000 *"
+        " COALESCE(a.covered, 0) / b.n_tokens) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS dup_cov_q"
+        " FROM base b LEFT JOIN agg a USING (doc_id)")

@@ -202,3 +202,68 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select(
         "doc_id", nb.cast("long").alias("n_bigrams"),
         nd.cast("long").alias("n_dup"), frac.cast("long").alias("dup_frac_q"))
+
+
+DUP_SPAN_K = 8  # window length (tokens) — Lee et al. use 50 BPE tokens
+
+
+def duplicate_spans(docs: DataFrame, k: int = DUP_SPAN_K,
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_cov_q): exact duplicated-
+    span detection — the window-granular form of suffix-array substring
+    dedup ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2021).
+
+    A length-``k`` token window is *duplicated* if the identical window
+    occurs in ≥2 distinct documents. ``n_dup_windows`` counts a doc's
+    duplicated windows; ``dup_cov_q`` = floor(1e6 · covered / n_tokens)
+    where ``covered`` is the exact token count under the UNION of the
+    doc's duplicated windows (fixed-length interval union via one
+    lead() pass: consecutive duplicated windows at distance < k overlap,
+    so each contributes min(k, next_pos - pos)).
+
+    Scale shape (100 TB): windows are built JVM-side from the token
+    array (no UDF); the only heavy shuffle groups windows by gram —
+    the same key shape as the index build's term shuffle. At petabyte
+    scale shuffle xxhash64(gram) instead of the string (the gate keeps
+    exact strings so the DuckDB oracle is collision-free by
+    construction); hot grams (boilerplate headers) are bounded by
+    gdf-capping exactly like ngram_jaccard's gram_df_cap.
+    """
+    toks = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       tokens_col(F.col(text_col)).alias("toks"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"CASE WHEN size(toks) >= {k}"
+            f" THEN transform(sequence(1, size(toks) - {k} + 1),"
+            f"      i -> array_join(slice(toks, i, {k}), ' '))"
+            " ELSE CAST(array() AS array<string>) END"
+        )).alias("pos0", "gram"))
+    wins = wins.select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    gdf = (wins.groupBy("gram")
+           .agg(F.count_distinct("doc_id").alias("gdf")))
+    dup = (wins.join(gdf.where(F.col("gdf") >= 2), "gram")
+           .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (dup.withColumn("nxt", F.lead("pos").over(w))
+           .withColumn("contrib",
+                       F.least(F.lit(k),
+                               F.coalesce(F.col("nxt") - F.col("pos"),
+                                          F.lit(k)))))
+    agg = cov.groupBy("doc_id").agg(
+        F.count("*").alias("ndw"), F.sum("contrib").alias("covered"))
+    base = toks.select(
+        "doc_id", F.size("toks").alias("n_tokens"),
+        F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0))
+         .alias("n_windows"))
+    out = base.join(agg, "doc_id", "left")
+    covered = F.coalesce(F.col("covered"), F.lit(0))
+    covq = F.when(F.col("n_tokens") > 0,
+                  F.floor(F.lit(1_000_000) * covered / F.col("n_tokens"))) \
+            .otherwise(0)
+    return out.select(
+        "doc_id", F.col("n_windows").cast("long").alias("n_windows"),
+        F.coalesce(F.col("ndw"), F.lit(0)).cast("long")
+         .alias("n_dup_windows"),
+        covq.cast("long").alias("dup_cov_q"))

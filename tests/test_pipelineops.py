@@ -168,3 +168,42 @@ def test_pack_sequences_single_shuffle(spark):
     plan = P.pack_sequences(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead"), plan
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_interval_union(spark):
+    """Two docs share a 6-token passage; with k=4 that passage yields 3
+    duplicated windows per doc whose UNION covers exactly 6 tokens —
+    overlap must not be double counted. A third doc shares nothing."""
+    shared = "aa bb cc dd ee ff"
+    rows = [
+        (1, f"{shared} x1 y1 z1 w1"),
+        (2, f"p2 q2 {shared} r2 s2"),
+        (3, "u3 v3 w3 x3 y3 z3 a3 b3 c3 d3"),
+    ]
+    out = {r["doc_id"]: r for r in
+           P.duplicate_spans(_docs(spark, rows), k=4).collect()}
+    # doc 1: 10 tokens -> 7 windows; duplicated windows start at 1,2,3
+    assert out[1]["n_windows"] == 7
+    assert out[1]["n_dup_windows"] == 3
+    assert out[1]["dup_cov_q"] == 1_000_000 * 6 // 10
+    # doc 2: same three windows shifted by the 2-token prefix
+    assert out[2]["n_dup_windows"] == 3
+    assert out[2]["dup_cov_q"] == 1_000_000 * 6 // 10
+    # doc 3: clean
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_cov_q"] == 0
+
+
+def test_duplicate_spans_short_doc_and_full_dup(spark):
+    """Docs shorter than k produce zero windows (not a negative range);
+    two identical docs are 100% covered."""
+    rows = [(1, "a b"), (2, "m1 m2 m3 m4 m5"), (3, "m1 m2 m3 m4 m5")]
+    out = {r["doc_id"]: r for r in
+           P.duplicate_spans(_docs(spark, rows), k=4).collect()}
+    assert out[1]["n_windows"] == 0 and out[1]["dup_cov_q"] == 0
+    assert out[2]["n_dup_windows"] == 2  # windows at pos 1, 2
+    assert out[2]["dup_cov_q"] == 1_000_000  # union covers all 5 tokens
+    assert out[3]["dup_cov_q"] == 1_000_000
