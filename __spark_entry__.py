@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": entries.q_pack_sequences,
         "repetition_stats": entries.q_repetition_stats,
         "duplicate_spans": entries.q_duplicate_spans,
+        "dedup_clusters": entries.q_dedup_clusters,
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
         "toplayer_topk": entries.q_toplayer_topk,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
             pipelineops.PACK_CAP, pipelineops.PACK_BUCKETS),
         "repetition_stats": entrysql.sql_repetition_stats(),
         "duplicate_spans": entrysql.sql_duplicate_spans(),
+        "dedup_clusters": entrysql.sql_dedup_clusters(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),
         "online_greedy_topk": entrysql.sql_online_greedy_topk(

@@ -509,3 +509,8 @@ def q_ann_ivfpq_topk(spark, sf_dir):
 def q_duplicate_spans(spark, sf_dir):
     from .pipelineops import duplicate_spans
     return duplicate_spans(load_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    from .textops import dedup_clusters
+    return dedup_clusters(load_docs(spark, sf_dir))

@@ -1375,3 +1375,30 @@ def sql_duplicate_spans(k: int = 8) -> str:
         " COALESCE(a.covered, 0) / b.n_tokens) AS BIGINT)"
         " ELSE CAST(0 AS BIGINT) END AS dup_cov_q"
         " FROM base b LEFT JOIN agg a USING (doc_id)")
+
+
+def sql_dedup_clusters() -> str:
+    """Oracle for textops.dedup_clusters: connected components over the
+    LSH candidate pairs as a recursive label closure — (doc, label) pairs
+    grow along edges until fixpoint; min(label) per doc = component min."""
+    return (
+        f"WITH RECURSIVE {_TOK_CTE.strip()}, {_DICT_CTE.strip()},"
+        f" {_SIG_CTE.strip()}, "
+        "bands AS ("
+        "  SELECT doc_id, perm // 2 AS band,"
+        "  CAST(sum(minhash * CASE WHEN perm % 2 = 0 THEN 2147483648 ELSE 1 END)"
+        "       AS BIGINT) AS band_key"
+        "  FROM sig GROUP BY doc_id, perm // 2), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.band_key = b.band_key"
+        " AND a.doc_id < b.doc_id), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand"
+        " UNION SELECT doc_b, doc_a FROM cand), "
+        "cc AS ("
+        "  SELECT doc_id, doc_id AS label FROM documents"
+        "  UNION"
+        "  SELECT e.dst AS doc_id, cc.label FROM cc"
+        "  JOIN edges e ON e.src = cc.doc_id) "
+        "SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id"
+        " FROM cc GROUP BY doc_id")

@@ -419,3 +419,51 @@ def parse_double_array(col, sep: str = ","):
     """T5 — ``string2DoubleArray`` (``WWW.java:466-469``)."""
     parts = F.filter(F.split(F.trim(col), sep), lambda t: F.trim(t) != "")
     return F.transform(parts, lambda t: F.trim(t).try_cast("double"))
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
+                   max_iters: int = 50) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup candidate
+    pairs; ``cluster_id`` = min doc_id of the component — the canonical
+    document every member collapses to, the step that turns pairwise LSH
+    candidates into an actionable dedup decision.
+
+    Iterative min-label propagation: every doc starts labeled with
+    itself; each round takes the min of its own label and its neighbors'
+    labels, until a fixpoint (components from near-dup graphs have tiny
+    diameter — boilerplate clusters are near-cliques — so this converges
+    in a handful of rounds; ``max_iters`` is a runaway guard). Each round
+    is ONE equi-join + groupBy on doc_id keys; intermediate labels are
+    persisted and the previous round unpersisted so the plan/lineage
+    stays O(1) per round. At extreme diameters switch to the
+    large-star/small-star alternation (Kiveris et al.), which contracts
+    paths doubly-logarithmically with the same per-round shuffle shape.
+    """
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs)
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"))).distinct()
+             .persist())
+    labels = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.col("doc_id").cast("long").alias("label")) \
+                 .persist()
+    for _ in range(max_iters):
+        nbr_min = (edges.join(labels,
+                              edges["src"] == labels["doc_id"])
+                   .groupBy(F.col("dst").alias("doc_id"))
+                   .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(nbr_min, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("label", F.coalesce("nmin", "label"))
+                               .alias("label"))
+                      .persist())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "doc_id")
+                   .where(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -104,3 +104,30 @@ def test_lsh_bucket_cap(spark):
     assert all(a >= 100 for a, b in capped), capped
     # the small-bucket near-dup pair survives
     assert (100, 101) in full and (100, 101) in capped
+
+
+def test_dedup_clusters_chain_and_disjoint(spark):
+    """Connected components over explicit pairs: a 5-doc chain needs
+    multi-round min propagation; a separate 2-doc pair and singletons
+    keep their own labels."""
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(10)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # chain 1-2-3-4-5
+         (7, 8)],                          # separate pair
+        "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           textops.dedup_clusters(docs, pairs=pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   6: 6, 7: 7, 8: 7, 9: 9}
+
+
+def test_dedup_clusters_from_lsh_pairs(spark):
+    """End-to-end over LSH candidates: boilerplate clones cluster to the
+    min doc_id; the two alpha-docs form their own cluster."""
+    docs = _corpus(spark)
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           textops.dedup_clusters(docs).collect()}
+    # 12 boilerplate docs share bands -> one cluster rooted at 0
+    assert all(got[i] == 0 for i in range(12))
+    assert got[100] == got[101] == 100
