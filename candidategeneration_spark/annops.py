@@ -176,7 +176,9 @@ def ivf_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     piece that scales."""
     from pyspark.sql import Window
     q = quantized(emb).select("vec_id", "qvec")
-    cents = ivf_centroids(emb, k, iters)
+    # pin the k-rows centroid table: it feeds both the cell assignment
+    # and the probe scoring, which would otherwise re-run the k-means
+    cents = ivf_centroids(emb, k, iters).persist()
     cells = _assign(q, cents)
     probes = q.where(F.col("vec_id") < n_probes) \
               .select(F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"))
@@ -385,8 +387,13 @@ def pq_adc_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     lsh_topk / ivf_topk: recall measured in test_ann_recall)."""
     from pyspark.sql import Window
     q = quantized(emb).select("vec_id", "qvec")
-    books = pq_codebooks(emb, m_count, dsub, ksub, iters)
-    codes = pq_codes(emb, m_count, dsub, ksub, iters)
+    sub = _subspaces(q, m_count, dsub)
+    # train ONCE and pin the (tiny) codebooks: every consumer below would
+    # otherwise re-execute the whole Lloyd lineage (M·ksub rows, but
+    # iters shuffles behind them)
+    books = _pq_train(sub, ksub, iters).persist()
+    codes = _passign(sub, books).select(
+        "vec_id", "m", F.col("cid").alias("code"))
     probes = _subspaces(q.where(F.col("vec_id") < n_probes), m_count, dsub) \
         .select(F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv"))
     adc = (probes.join(books, "m")
@@ -430,8 +437,8 @@ def ivfpq_codes(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
     """(vec_id, cid, m, code): the stored IVF-PQ encoding — coarse cell id
     plus M residual codes per vector."""
     q = quantized(emb).select("vec_id", "qvec")
-    cents = ivf_centroids(emb, k, iters)
-    cells = _assign(q, cents)
+    cents = ivf_centroids(emb, k, iters).persist()
+    cells = _assign(q, cents).persist()
     rsub = _subspaces(_residuals(q, cents, cells), m_count, dsub)
     books = _pq_train(rsub, ksub, pq_iters)
     codes = _passign(rsub, books).select(
@@ -456,10 +463,13 @@ def ivfpq_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     construction (recall measured in test_ann_recall)."""
     from pyspark.sql import Window
     q = quantized(emb).select("vec_id", "qvec")
-    cents = ivf_centroids(emb, k, iters)
-    cells = _assign(q, cents)
+    # pin the training artifacts: centroids (k rows) feed three consumers
+    # (cell assignment, residuals, probe scoring) and cells feed two —
+    # unpersisted, each consumer re-executes the full k-means lineage
+    cents = ivf_centroids(emb, k, iters).persist()
+    cells = _assign(q, cents).persist()
     rsub = _subspaces(_residuals(q, cents, cells), m_count, dsub)
-    books = _pq_train(rsub, ksub, pq_iters)
+    books = _pq_train(rsub, ksub, pq_iters).persist()
     codes = _passign(rsub, books).select(
         "vec_id", "m", F.col("cid").alias("code"))
 

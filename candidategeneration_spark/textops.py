@@ -422,46 +422,62 @@ def parse_double_array(col, sep: str = ","):
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
-                   max_iters: int = 50) -> DataFrame:
+                   max_iters: int = 50, scale: bool = False) -> DataFrame:
     """(doc_id, cluster_id): connected components over near-dup candidate
     pairs; ``cluster_id`` = min doc_id of the component — the canonical
     document every member collapses to, the step that turns pairwise LSH
-    candidates into an actionable dedup decision.
+    candidates into an actionable dedup decision. ``scale=True`` applies
+    the hot-bucket cap to the default pair generator (boilerplate
+    near-cliques make the raw LSH graph quadratic — the measured sf0.1
+    wall time is dominated by exactly that fan-out; capped buckets keep
+    the edge list near-linear and exact dedup collapses the giant
+    clusters more cheaply).
 
     Iterative min-label propagation: every doc starts labeled with
     itself; each round takes the min of its own label and its neighbors'
     labels, until a fixpoint (components from near-dup graphs have tiny
     diameter — boilerplate clusters are near-cliques — so this converges
-    in a handful of rounds; ``max_iters`` is a runaway guard). Each round
-    is ONE equi-join + groupBy on doc_id keys; intermediate labels are
-    persisted and the previous round unpersisted so the plan/lineage
-    stays O(1) per round. At extreme diameters switch to the
-    large-star/small-star alternation (Kiveris et al.), which contracts
-    paths doubly-logarithmically with the same per-round shuffle shape.
+    in a handful of rounds; ``max_iters`` is a runaway guard), plus a
+    pointer-jumping (path-halving) self-join per round that contracts
+    label chains geometrically — O(log diameter) rounds on the sparse
+    thin-chain graphs that capped LSH produces. Each round's result is
+    ``localCheckpoint``-ed: persist alone is NOT enough for iterative
+    Spark — the logical plan still nests one self-join per round, so the
+    analyzer re-walks an exponentially growing tree and planning time,
+    not data movement, becomes the bottleneck. Checkpointing truncates
+    the lineage so every round re-plans O(1) operators.
     """
     if pairs is None:
-        pairs = lsh_candidate_pairs(docs)
+        pairs = lsh_candidate_pairs(docs, scale=scale)
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst"))).distinct()
              .persist())
     labels = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                          F.col("doc_id").cast("long").alias("label")) \
-                 .persist()
+                 .localCheckpoint()
     for _ in range(max_iters):
         nbr_min = (edges.join(labels,
                               edges["src"] == labels["doc_id"])
                    .groupBy(F.col("dst").alias("doc_id"))
                    .agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(nbr_min, "doc_id", "left")
-                      .select("doc_id",
-                              F.least("label", F.coalesce("nmin", "label"))
+        stepped = (labels.join(nbr_min, "doc_id", "left")
+                   .select("doc_id",
+                           F.least("label", F.coalesce("nmin", "label"))
+                            .alias("label"))
+                   .localCheckpoint())
+        # pointer jumping (path halving): label <- min(label, label's
+        # label). Every label IS some doc_id in the table, so the inner
+        # self-join is total.
+        a, b = stepped.alias("a"), stepped.alias("b")
+        new_labels = (a.join(b, F.col("a.label") == F.col("b.doc_id"))
+                      .select(F.col("a.doc_id").alias("doc_id"),
+                              F.least(F.col("a.label"), F.col("b.label"))
                                .alias("label"))
-                      .persist())
+                      .localCheckpoint())
         changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
                                    "doc_id")
                    .where(F.col("label") != F.col("old")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
