@@ -107,8 +107,17 @@ def cmd_dedup(args) -> int:
             docs, gram_df_cap=args.gram_df_cap or None, scale=args.scale)
     pairs.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
+    n_clusters = None
+    if args.clusters:
+        clusters = textops.dedup_clusters(
+            docs, pairs=spark.read.parquet(args.out))
+        clusters.write.mode("overwrite").parquet(args.clusters)
+        n_clusters = (spark.read.parquet(args.clusters)
+                      .select("cluster_id").distinct().count())
     print(json.dumps({"out": args.out, "method": args.method,
-                      "pairs": n, "scale": args.scale}))
+                      "pairs": n, "scale": args.scale,
+                      "clusters_out": args.clusters,
+                      "n_clusters": n_clusters}))
     return 0
 
 
@@ -156,6 +165,10 @@ def main(argv=None) -> int:
     d.add_argument("--gram-df-cap", type=int, default=0, dest="gram_df_cap",
                    help="explicit n-gram document-frequency cap (overrides "
                         "--scale default)")
+    d.add_argument("--clusters", default=None,
+                   help="also write (doc_id, cluster_id) connected "
+                        "components over the pairs to this path "
+                        "(cluster_id = canonical min doc_id)")
     d.set_defaults(fn=cmd_dedup)
 
     q = sub.add_parser("query", help="run a query file against an index")
