@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": entries.q_repetition_stats,
         "duplicate_spans": entries.q_duplicate_spans,
         "dedup_clusters": entries.q_dedup_clusters,
+        "gopher_rules": entries.q_gopher_rules,
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
         "toplayer_topk": entries.q_toplayer_topk,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": entrysql.sql_repetition_stats(),
         "duplicate_spans": entrysql.sql_duplicate_spans(),
         "dedup_clusters": entrysql.sql_dedup_clusters(),
+        "gopher_rules": entrysql.sql_gopher_rules(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),
         "online_greedy_topk": entrysql.sql_online_greedy_topk(

@@ -514,3 +514,8 @@ def q_duplicate_spans(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     from .textops import dedup_clusters
     return dedup_clusters(load_docs(spark, sf_dir))
+
+
+def q_gopher_rules(spark, sf_dir):
+    from .textops import gopher_rules
+    return gopher_rules(load_docs(spark, sf_dir))

@@ -1402,3 +1402,41 @@ def sql_dedup_clusters() -> str:
         "  JOIN edges e ON e.src = cc.doc_id) "
         "SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id"
         " FROM cc GROUP BY doc_id")
+
+
+def sql_gopher_rules() -> str:
+    """Oracle for textops.gopher_rules (length() = characters on both
+    engines; the corpus is ASCII so char == byte never matters)."""
+    sw = "['the','and','of','to','in','is','it','on']"
+    return (
+        f"WITH {_TOK_CTE.strip()}, "
+        "base AS (SELECT d.doc_id, t.toks, d.text"
+        " FROM documents d JOIN tok t USING (doc_id)), "
+        "sig AS (SELECT doc_id,"
+        " CAST(len(toks) AS BIGINT) AS n_tokens,"
+        " COALESCE(list_sum(list_transform(toks, s -> length(s))), 0)"
+        "   AS chars,"
+        " len(regexp_extract_all(text, '#'))"
+        "   + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,"
+        " len(string_split(text, chr(10))) AS n_lines,"
+        " len(list_filter(string_split(text, chr(10)),"
+        "   x -> regexp_matches(x, '^\\s*[-*•]'))) AS n_bullets,"
+        f" len(list_intersect(list_distinct(toks), {sw})) AS stop_hits"
+        " FROM base), "
+        "qs AS (SELECT doc_id, n_tokens,"
+        " CASE WHEN n_tokens > 0 THEN CAST(floor(1000 * chars / n_tokens)"
+        "   AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mean_wlen_q,"
+        " CASE WHEN n_tokens > 0 THEN CAST(floor(1000000 * n_symbols"
+        "   / n_tokens) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        "   AS symbol_ratio_q,"
+        " CASE WHEN n_lines > 0 THEN CAST(floor(1000000 * n_bullets"
+        "   / n_lines) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        "   AS bullet_ratio_q,"
+        " CAST(stop_hits AS BIGINT) AS stop_hits FROM sig) "
+        "SELECT doc_id, n_tokens, mean_wlen_q, symbol_ratio_q,"
+        " bullet_ratio_q, stop_hits,"
+        " CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000"
+        "   AND mean_wlen_q BETWEEN 3000 AND 10000"
+        "   AND symbol_ratio_q <= 100000 AND bullet_ratio_q <= 900000"
+        "   AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep"
+        " FROM qs")

@@ -483,3 +483,67 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
             break
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# Gopher-rules bounds (Rae et al. 2021, Table A1 shape) — quantized ×1e3
+# for mean word length, ×1e6 for ratios; shared with the SQL oracle.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_WLEN_Q = 3_000        # mean word length ≥ 3
+GOPHER_MAX_WLEN_Q = 10_000       # mean word length ≤ 10
+GOPHER_MAX_SYMBOL_Q = 100_000    # (#-or-ellipsis)/words ≤ 0.1
+GOPHER_MAX_BULLET_Q = 900_000    # ≤ 90% of lines bullet-led
+GOPHER_MIN_STOP_HITS = 2         # ≥ 2 distinct required stopwords
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_wlen_q, symbol_ratio_q, bullet_ratio_q,
+    stop_hits, keep): the Gopher repetition-free quality-filter signals
+    (Rae et al. 2021) as exact integer columns plus the combined keep
+    decision (1/0).
+
+    All signals are pure JVM column math (tokenize contract + regexp
+    counts + a line filter) — no UDF, no shuffle; the op is a projection
+    and filters push to the scan. ``keep`` applies the classic bounds:
+    token count in [50, 100k], mean word length in [3, 10], symbol-to-
+    word ratio ≤ 0.1, bullet-led lines ≤ 90%, ≥ 2 distinct required
+    stopwords (code corpora naturally fail several — the signals, not
+    the verdict, are the product)."""
+    toks = docs.select("doc_id", F.col("text"),
+                       tokens_col(F.col("text")).alias("toks"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.aggregate("toks", F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).alias("chars"),
+        (F.regexp_count(F.col("text"), F.lit("#"))
+         + F.regexp_count(F.col("text"), F.lit(r"\.\.\.")))
+        .cast("long").alias("n_symbols"),
+        F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_lines"),
+        F.size(F.filter(F.split(F.col("text"), "\n"),
+                        lambda x: x.rlike(r"^\s*[-*•]")))
+         .cast("long").alias("n_bullets"),
+        F.size(F.array_intersect(F.array_distinct("toks"), sw))
+         .cast("long").alias("stop_hits"))
+    q6 = F.lit(1_000_000)
+    wlen = F.when(F.col("n_tokens") > 0,
+                  F.floor(F.lit(1_000) * F.col("chars")
+                          / F.col("n_tokens"))).otherwise(0).cast("long")
+    sym = F.when(F.col("n_tokens") > 0,
+                 F.floor(q6 * F.col("n_symbols") / F.col("n_tokens"))) \
+           .otherwise(0).cast("long")
+    bul = F.when(F.col("n_lines") > 0,
+                 F.floor(q6 * F.col("n_bullets") / F.col("n_lines"))) \
+           .otherwise(0).cast("long")
+    out = base.select("doc_id", "n_tokens", wlen.alias("mean_wlen_q"),
+                      sym.alias("symbol_ratio_q"),
+                      bul.alias("bullet_ratio_q"), "stop_hits")
+    keep = ((F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+            & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+            & (F.col("mean_wlen_q") >= GOPHER_MIN_WLEN_Q)
+            & (F.col("mean_wlen_q") <= GOPHER_MAX_WLEN_Q)
+            & (F.col("symbol_ratio_q") <= GOPHER_MAX_SYMBOL_Q)
+            & (F.col("bullet_ratio_q") <= GOPHER_MAX_BULLET_Q)
+            & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS))
+    return out.withColumn("keep", keep.cast("long"))

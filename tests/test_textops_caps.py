@@ -131,3 +131,25 @@ def test_dedup_clusters_from_lsh_pairs(spark):
     # 12 boilerplate docs share bands -> one cluster rooted at 0
     assert all(got[i] == 0 for i in range(12))
     assert got[100] == got[101] == 100
+
+
+def test_gopher_rules_signals_and_keep(spark):
+    """Constructed docs: one passes every bound; others each trip exactly
+    one rule (too short, symbol-heavy, bullet-heavy, no stopwords)."""
+    good_words = ("the cat and dog of house in garden is nice it runs on "
+                  "grass with speed over fields near water under trees ")
+    good = (good_words * 3).strip()           # >50 tokens, wlen 3-10, stops
+    rows = [
+        (1, good),
+        (2, "the and of"),                              # too short
+        (3, good + " " + "#" * 1 + (" #" * 40)),        # symbol-heavy
+        (4, "\n".join(f"- {good_words}" for _ in range(10))),  # bullets
+        (5, ("zz yy xx ww vv uu tt ss rr qq " * 8).strip()),   # no stops
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.gopher_rules(docs).collect()}
+    assert got[1]["keep"] == 1
+    assert got[2]["keep"] == 0 and got[2]["n_tokens"] < 50
+    assert got[3]["keep"] == 0 and got[3]["symbol_ratio_q"] > 100_000
+    assert got[4]["keep"] == 0 and got[4]["bullet_ratio_q"] > 900_000
+    assert got[5]["keep"] == 0 and got[5]["stop_hits"] < 2
