@@ -207,3 +207,47 @@ def test_duplicate_spans_short_doc_and_full_dup(spark):
     assert out[2]["n_dup_windows"] == 2  # windows at pos 1, 2
     assert out[2]["dup_cov_q"] == 1_000_000  # union covers all 5 tokens
     assert out[3]["dup_cov_q"] == 1_000_000
+
+
+def test_duplicate_spans_matches_python_oracle(spark):
+    """Randomized cross-check: duplicate_spans vs a brute-force pure-
+    Python implementation of the same semantics (tokenize contract,
+    cross-doc window df, interval union)."""
+    import random
+    import re
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(0, 25)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        rows.append((d, " ".join(words)))
+    k = 3
+
+    def tokenize(text):
+        t = re.sub(r"[^a-z0-9.]", " ", text.lower()).strip()
+        return [x for x in re.split(r"\s+", t) if len(x) >= 2] if t else []
+
+    toks = {d: tokenize(t) for d, t in rows}
+    wins = {}  # gram -> set of doc_ids
+    per_doc = {d: [] for d, _ in rows}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            g = " ".join(ts[i:i + k])
+            wins.setdefault(g, set()).add(d)
+            per_doc[d].append((i + 1, g))
+    expected = {}
+    for d, ts in toks.items():
+        dup_pos = sorted(p for p, g in per_doc[d] if len(wins[g]) >= 2)
+        covered = 0
+        for j, p in enumerate(dup_pos):
+            nxt = dup_pos[j + 1] if j + 1 < len(dup_pos) else None
+            covered += min(k, nxt - p) if nxt is not None else k
+        n_tok = len(ts)
+        expected[d] = (max(n_tok - k + 1, 0), len(dup_pos),
+                       1_000_000 * covered // n_tok if n_tok else 0)
+
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_cov_q"])
+           for r in P.duplicate_spans(_docs(spark, rows), k=k).collect()}
+    assert got == expected
