@@ -177,8 +177,11 @@ def ivf_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     from pyspark.sql import Window
     q = quantized(emb).select("vec_id", "qvec")
     # pin the k-rows centroid table: it feeds both the cell assignment
-    # and the probe scoring, which would otherwise re-run the k-means
-    cents = ivf_centroids(emb, k, iters).persist()
+    # and the probe scoring, which would otherwise re-run the k-means —
+    # localCheckpoint (not persist) so the ANALYZED plan is also cut:
+    # persist caches data but every consumer still nests the full Lloyd
+    # subtree in the logical plan
+    cents = ivf_centroids(emb, k, iters).localCheckpoint()
     cells = _assign(q, cents)
     probes = q.where(F.col("vec_id") < n_probes) \
               .select(F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"))
@@ -390,8 +393,10 @@ def pq_adc_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     sub = _subspaces(q, m_count, dsub)
     # train ONCE and pin the (tiny) codebooks: every consumer below would
     # otherwise re-execute the whole Lloyd lineage (M·ksub rows, but
-    # iters shuffles behind them)
-    books = _pq_train(sub, ksub, iters).persist()
+    # iters shuffles behind them); localCheckpoint also truncates the
+    # logical plan, which would otherwise nest the training subtree per
+    # consumer
+    books = _pq_train(sub, ksub, iters).localCheckpoint()
     codes = _passign(sub, books).select(
         "vec_id", "m", F.col("cid").alias("code"))
     probes = _subspaces(q.where(F.col("vec_id") < n_probes), m_count, dsub) \
@@ -437,8 +442,8 @@ def ivfpq_codes(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
     """(vec_id, cid, m, code): the stored IVF-PQ encoding — coarse cell id
     plus M residual codes per vector."""
     q = quantized(emb).select("vec_id", "qvec")
-    cents = ivf_centroids(emb, k, iters).persist()
-    cells = _assign(q, cents).persist()
+    cents = ivf_centroids(emb, k, iters).localCheckpoint()
+    cells = _assign(q, cents).localCheckpoint()
     rsub = _subspaces(_residuals(q, cents, cells), m_count, dsub)
     books = _pq_train(rsub, ksub, pq_iters)
     codes = _passign(rsub, books).select(
@@ -465,11 +470,13 @@ def ivfpq_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     q = quantized(emb).select("vec_id", "qvec")
     # pin the training artifacts: centroids (k rows) feed three consumers
     # (cell assignment, residuals, probe scoring) and cells feed two —
-    # unpersisted, each consumer re-executes the full k-means lineage
-    cents = ivf_centroids(emb, k, iters).persist()
-    cells = _assign(q, cents).persist()
+    # unpinned, each consumer re-executes the full k-means lineage AND
+    # the analyzed plan nests the training subtree hundreds of times;
+    # localCheckpoint cuts both (persist alone only cuts the runtime)
+    cents = ivf_centroids(emb, k, iters).localCheckpoint()
+    cells = _assign(q, cents).localCheckpoint()
     rsub = _subspaces(_residuals(q, cents, cells), m_count, dsub)
-    books = _pq_train(rsub, ksub, pq_iters).persist()
+    books = _pq_train(rsub, ksub, pq_iters).localCheckpoint()
     codes = _passign(rsub, books).select(
         "vec_id", "m", F.col("cid").alias("code"))
 
