@@ -138,3 +138,46 @@ def test_warc_record_framing_content_length_exact():
     assert len(recs) == 2
     assert recs[0][1] == body
     assert recs[1][0]["WARC-Type"] == "request"
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (LLM-data interchange format)
+# ---------------------------------------------------------------------------
+
+def test_jsonl_roundtrip_and_field_mapping(spark, tmp_path):
+    """Mixed-spelling shards parse to (doc_id, text); gz round-trip is
+    identical; rows without text drop; missing ids hash from text."""
+    import gzip
+    import json
+    from candidategeneration_spark.sources import jsonl
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "alpha body"},
+        {"id": "2", "content": "beta body"},          # alt spellings
+        {"document_id": 3, "raw_content": "gamma body"},
+        {"text": "no id at all"},                     # hashed id
+        {"doc_id": 9},                                # no text -> dropped
+    ]
+    with gzip.open(d / "part0.jsonl.gz", "wt") as f:
+        for r in rows[:3]:
+            f.write(json.dumps(r) + "\n")
+    with open(d / "part1.jsonl", "w") as f:
+        for r in rows[3:]:
+            f.write(json.dumps(r) + "\n")
+
+    got = {r["text"]: r["doc_id"]
+           for r in jsonl.read_docs_jsonl(spark, str(d)).collect()}
+    assert got["alpha body"] == 1
+    assert got["beta body"] == 2
+    assert got["gamma body"] == 3
+    assert "no id at all" in got and got["no id at all"] is not None
+    assert len(got) == 4  # the text-less row dropped
+
+    out = tmp_path / "rt"
+    docs = jsonl.read_docs_jsonl(spark, str(d))
+    jsonl.write_docs_jsonl(docs, str(out))
+    back = {r["text"]: r["doc_id"]
+            for r in jsonl.read_docs_jsonl(spark, str(out)).collect()}
+    assert back == got

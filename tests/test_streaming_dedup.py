@@ -60,3 +60,22 @@ def test_dedup_stats_running_counts(spark, tmp_path):
     assert stats[11] == 2     # "gamma text": docs 11, 21
     # exactly 4 distinct contents
     assert len(stats) == 4
+
+
+def test_gopher_rules_stream_batch_parity(spark, tmp_path):
+    """Stateless quality ops apply to a stream unchanged (pure column
+    projections): gopher_rules over a file stream must equal the batch
+    result row-for-row."""
+    from candidategeneration_spark.textops import gopher_rules
+
+    src = _stage_arrivals(spark, tmp_path)
+    batch = {r["doc_id"]: tuple(r)
+             for r in gopher_rules(spark.read.parquet(src)).collect()}
+    stream = ingest.read_docs_stream(spark, src, max_files=1)
+    q = (gopher_rules(stream)
+         .writeStream.format("memory").queryName("gopher_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {r["doc_id"]: tuple(r)
+                for r in spark.sql("SELECT * FROM gopher_stream").collect()}
+    assert streamed == batch and len(batch) == 8
