@@ -121,6 +121,22 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    from . import textops
+    spark = _spark(args)
+    docs = spark.read.parquet(args.corpus)
+    if "text" not in docs.columns and "content" in docs.columns:
+        docs = docs.withColumnRenamed("content", "text")
+    out = textops.gopher_rules(docs)
+    if args.keep_only:
+        out = out.where(out.keep == 1)
+    out.write.mode("overwrite").parquet(args.out)
+    res = spark.read.parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": res.count(),
+                      "kept": res.where(res.keep == 1).count()}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="candidategeneration_spark")
     p.add_argument("--master", default=None)
@@ -170,6 +186,14 @@ def main(argv=None) -> int:
                         "components over the pairs to this path "
                         "(cluster_id = canonical min doc_id)")
     d.set_defaults(fn=cmd_dedup)
+
+    qa = sub.add_parser("quality", help="Gopher-rules quality signals + "
+                                        "keep decision per document")
+    qa.add_argument("--corpus", required=True)
+    qa.add_argument("--out", required=True)
+    qa.add_argument("--keep-only", action="store_true", dest="keep_only",
+                    help="write only rows passing every bound")
+    qa.set_defaults(fn=cmd_quality)
 
     q = sub.add_parser("query", help="run a query file against an index")
     q.add_argument("--index", required=True)
