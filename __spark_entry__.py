@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": entries.q_duplicate_spans,
         "dedup_clusters": entries.q_dedup_clusters,
         "gopher_rules": entries.q_gopher_rules,
+        "events_rollup": entries.q_events_rollup,
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
         "toplayer_topk": entries.q_toplayer_topk,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": entrysql.sql_duplicate_spans(),
         "dedup_clusters": entrysql.sql_dedup_clusters(),
         "gopher_rules": entrysql.sql_gopher_rules(),
+        "events_rollup": entrysql.sql_events_rollup(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),
         "online_greedy_topk": entrysql.sql_online_greedy_topk(

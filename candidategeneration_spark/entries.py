@@ -519,3 +519,8 @@ def q_dedup_clusters(spark, sf_dir):
 def q_gopher_rules(spark, sf_dir):
     from .textops import gopher_rules
     return gopher_rules(load_docs(spark, sf_dir))
+
+
+def q_events_rollup(spark, sf_dir):
+    from .relops import events_rollup
+    return events_rollup(spark, sf_dir)

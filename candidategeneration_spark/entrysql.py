@@ -1440,3 +1440,17 @@ def sql_gopher_rules() -> str:
         "   AND symbol_ratio_q <= 100000 AND bullet_ratio_q <= 900000"
         "   AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep"
         " FROM qs")
+
+
+def sql_events_rollup() -> str:
+    """Oracle for relops.events_rollup (GROUPING SETS twin; lvl =
+    grouping_id over (event_type, day) — same bit order both engines)."""
+    return (
+        "WITH ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,"
+        " CAST(round(value * 1000) AS BIGINT) AS vq FROM events) "
+        "SELECT COALESCE(event_type, 'ALL') AS event_type,"
+        " COALESCE(day, 'ALL') AS day,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(vq) AS BIGINT) AS sum_value_q,"
+        " CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS lvl"
+        " FROM ev GROUP BY ROLLUP (event_type, day)")

@@ -126,3 +126,28 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
                  F.count("*").cast("long").alias("n_events"))
             .select(F.col("user_id").cast("long").alias("user_id"),
                     "n_sessions", "n_events"))
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n, sum_value_q, lvl): ROLLUP aggregation over
+    events — per (type, day), per type subtotal, grand total, with the
+    grouping level exposed. OLAP hypertable-rollup shape: one shuffle,
+    Catalyst expands the grouping sets map-side (partial aggregation per
+    set), so the three levels cost one pass. ``value`` is quantized
+    per-row BEFORE summation (int64 sums are associative → identical
+    under any execution order; a double sum would be order-dependent
+    and oracle-unstable)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1000).cast("long").alias("vq"))
+    return (ev.rollup("event_type", "day")
+            .agg(F.count("*").alias("n"),
+                 F.sum("vq").alias("sum_value_q"),
+                 F.grouping_id().alias("lvl"))
+            .select(F.coalesce("event_type", F.lit("ALL"))
+                     .alias("event_type"),
+                    F.coalesce("day", F.lit("ALL")).alias("day"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("sum_value_q").cast("long").alias("sum_value_q"),
+                    F.col("lvl").cast("long").alias("lvl")))
