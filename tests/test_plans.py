@@ -163,3 +163,42 @@ def test_pq_scoring_join_is_broadcast_equi_join(spark):
         assert "BroadcastHashJoin" in plan, plan
         assert "NestedLoopJoin" not in plan.replace(
             "BroadcastNestedLoopJoin", ""), plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must join with NO
+    Exchange and NO Sort — the write-once/join-many co-location that
+    replaces per-run shuffles of the big side at scale."""
+    from candidategeneration_spark.sources import bucketed
+    a = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") * 2).alias("x"))
+    b = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") * 3).alias("y"))
+    try:
+        bucketed.save_bucketed(a, "bt_a", str(tmp_path / "bt_a"),
+                               "doc_id", n_buckets=8)
+        bucketed.save_bucketed(b, "bt_b", str(tmp_path / "bt_b"),
+                               "doc_id", n_buckets=8)
+        j = bucketed.bucketed_join(spark, "bt_a", "bt_b", "doc_id")
+        plan = plans.explain_str(j, "simple")
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert j.count() == 2000
+        # with the sorted-scan flag, the write-time sortBy also removes
+        # the per-task Sort (off by default since Spark 3.0: reading
+        # every bucket sorted forces one task per bucket, which caps
+        # scan parallelism — the flag is a deliberate trade)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        try:
+            plan2 = plans.explain_str(
+                bucketed.bucketed_join(spark, "bt_a", "bt_b", "doc_id"),
+                "simple")
+            assert "Sort " not in plan2.replace("SortMergeJoin", ""), plan2
+        finally:
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering",
+                "false")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
