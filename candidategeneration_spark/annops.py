@@ -518,3 +518,62 @@ def ivfpq_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
             .where(F.col("rank") < topk)
             .select("qid", F.col("rank").cast("long").alias("rank"),
                     "vec_id", "score_q"))
+
+
+# ---------------------------------------------------------------------------
+# PQ index persistence — build once, query many. The topk entry points
+# above train inline (self-contained for the oracle gates); a deployment
+# trains once, stores codes + codebooks like the text engine stores
+# segments, and serves queries that need NOT be corpus members.
+# ---------------------------------------------------------------------------
+
+
+def save_pq_index(emb: DataFrame, path: str, m_count: int = PQ_M,
+                  dsub: int = PQ_DSUB, ksub: int = PQ_KSUB,
+                  iters: int = PQ_ITERS) -> None:
+    """Train and store the PQ index: ``<path>/books`` (m, cid, cv) and
+    ``<path>/codes`` (vec_id, m, code) as parquet. Codes are written
+    bucketed by vec_id hash via the normal parquet writer (the table is
+    M rows per vector — the compressed corpus representation)."""
+    q = quantized(emb).select("vec_id", "qvec")
+    sub = _subspaces(q, m_count, dsub)
+    books = _pq_train(sub, ksub, iters).localCheckpoint()
+    codes = _passign(sub, books).select(
+        "vec_id", "m", F.col("cid").alias("code"))
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(books, codes) back from :func:`save_pq_index`."""
+    return (spark.read.parquet(f"{path}/books"),
+            spark.read.parquet(f"{path}/codes"))
+
+
+def pq_adc_topk_prepared(books: DataFrame, codes: DataFrame,
+                         queries: DataFrame, topk: int = 10,
+                         m_count: int = PQ_M,
+                         dsub: int = PQ_DSUB) -> DataFrame:
+    """(qid, rank, vec_id, score_q): ADC top-k of a STORED index for
+    external queries (qid, embedding) — the queries need not be corpus
+    members. Per query batch the work is one broadcast of the tiny ADC
+    table (|queries|·M·ksub rows) against the stored code table; the raw
+    corpus vectors are never read at all — the serving property that
+    matters when the corpus is 100 TB and the codes are M bytes/vector."""
+    from pyspark.sql import Window
+    qv = quantized(queries).select(F.col("qid").cast("long").alias("qid"),
+                                   "qvec")
+    qsub = _subspaces(qv.withColumnRenamed("qid", "vec_id"),
+                      m_count, dsub) \
+        .select(F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv"))
+    adc = (qsub.join(books, "m")
+           .select("qid", "m", F.col("cid").alias("code"),
+                   _int_dot(F.col("qsv"), F.col("cv")).alias("t")))
+    scored = (codes.join(F.broadcast(adc), ["m", "code"])
+              .groupBy("qid", "vec_id")
+              .agg(F.sum("t").cast("long").alias("score_q")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < topk)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "score_q"))

@@ -184,3 +184,34 @@ def test_ivfpq_codes_shape(spark):
     assert all(0 <= r["code"] < annops.PQ_KSUB for r in rows)
     cells = {r["vec_id"]: r["cid"] for r in annops.ivf_cells(emb).collect()}
     assert all(r["cid"] == cells[r["vec_id"]] for r in rows)
+
+
+def test_pq_index_save_load_prepared_serving(spark, tmp_path):
+    """Stored-index serving must reproduce the inline pq_adc_topk for
+    corpus-member queries (modulo the self-match row, which prepared
+    serving keeps because external queries have no corpus identity),
+    and must serve a genuinely external query."""
+    emb = _clustered_emb(spark, n_clusters=6, per_cluster=5)
+    path = str(tmp_path / "pq_index")
+    annops.save_pq_index(emb, path)
+    books, codes = annops.load_pq_index(spark, path)
+
+    probes = emb.where("vec_id < 5").select(
+        annops.F.col("vec_id").alias("qid"), "embedding")
+    prepared = annops.pq_adc_topk_prepared(books, codes, probes, topk=31)
+    inline = annops.pq_adc_topk(emb, n_probes=5, topk=30)
+    prep = {(r["qid"], r["vec_id"]): r["score_q"]
+            for r in prepared.collect() if r["qid"] != r["vec_id"]}
+    inl = {(r["qid"], r["vec_id"]): r["score_q"]
+           for r in inline.collect()}
+    assert prep == inl
+
+    # external query: mean direction of cluster 0 must retrieve cluster 0
+    import numpy as np
+    c0 = np.stack([r["embedding"] for r in
+                   emb.where("vec_id < 5").collect()]).mean(axis=0)
+    ext = spark.createDataFrame(
+        [(999, [float(x) for x in c0])], "qid long, embedding array<double>")
+    got = [r["vec_id"] for r in
+           annops.pq_adc_topk_prepared(books, codes, ext, topk=5).collect()]
+    assert len(set(got) & set(range(5))) >= 3, got
