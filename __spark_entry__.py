@@ -146,7 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": entrysql.sql_pack_sequences(
             pipelineops.PACK_CAP, pipelineops.PACK_BUCKETS),
         "repetition_stats": entrysql.sql_repetition_stats(),
-        "duplicate_spans": entrysql.sql_duplicate_spans(),
+        "duplicate_spans": entrysql.sql_duplicate_spans(pipelineops.DUP_SPAN_K),
         "dedup_clusters": entrysql.sql_dedup_clusters(),
         "gopher_rules": entrysql.sql_gopher_rules(),
         "events_rollup": entrysql.sql_events_rollup(),

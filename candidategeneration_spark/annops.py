@@ -162,7 +162,8 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_K,
                  .localCheckpoint())
         # empty cells keep no row → their cid simply disappears (same
         # semantics in the oracle: GROUP BY only over assigned members)
-    return cents
+    # iters=0: the init slice never went through the loop's checkpoint
+    return cents if iters > 0 else cents.localCheckpoint()
 
 
 def ivf_cells(emb: DataFrame, k: int = IVF_K,
@@ -181,12 +182,11 @@ def ivf_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     piece that scales."""
     from pyspark.sql import Window
     q = quantized(emb).select("vec_id", "qvec")
-    # pin the k-rows centroid table: it feeds both the cell assignment
-    # and the probe scoring, which would otherwise re-run the k-means —
-    # localCheckpoint (not persist) so the ANALYZED plan is also cut:
-    # persist caches data but every consumer still nests the full Lloyd
-    # subtree in the logical plan
-    cents = ivf_centroids(emb, k, iters).localCheckpoint()
+    # the k-rows centroid table feeds both the cell assignment and the
+    # probe scoring; ivf_centroids returns it already checkpointed (the
+    # Lloyd loop checkpoints per iteration), so consumers share one
+    # materialized leaf — no re-run, no nested plan
+    cents = ivf_centroids(emb, k, iters)
     cells = _assign(q, cents)
     probes = q.where(F.col("vec_id") < n_probes) \
               .select(F.col("vec_id").alias("qid"), F.col("qvec").alias("qv"))
@@ -366,7 +366,7 @@ def _pq_train(sub: DataFrame, ksub: int = PQ_KSUB,
                       .alias("s"))
                  .select("m", "cid", F.col("s.cx").alias("cv"))
                  .localCheckpoint())
-    return cents
+    return cents if iters > 0 else cents.localCheckpoint()
 
 
 def pq_codebooks(emb: DataFrame, m_count: int = PQ_M, dsub: int = PQ_DSUB,
@@ -399,12 +399,10 @@ def pq_adc_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     from pyspark.sql import Window
     q = quantized(emb).select("vec_id", "qvec")
     sub = _subspaces(q, m_count, dsub)
-    # train ONCE and pin the (tiny) codebooks: every consumer below would
-    # otherwise re-execute the whole Lloyd lineage (M·ksub rows, but
-    # iters shuffles behind them); localCheckpoint also truncates the
-    # logical plan, which would otherwise nest the training subtree per
-    # consumer
-    books = _pq_train(sub, ksub, iters).localCheckpoint()
+    # train ONCE: _pq_train returns the codebooks already checkpointed,
+    # so every consumer below shares one materialized leaf instead of
+    # re-executing the Lloyd lineage per reference
+    books = _pq_train(sub, ksub, iters)
     codes = _passign(sub, books).select(
         "vec_id", "m", F.col("cid").alias("code"))
     probes = _subspaces(q.where(F.col("vec_id") < n_probes), m_count, dsub) \
@@ -450,7 +448,7 @@ def ivfpq_codes(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
     """(vec_id, cid, m, code): the stored IVF-PQ encoding — coarse cell id
     plus M residual codes per vector."""
     q = quantized(emb).select("vec_id", "qvec")
-    cents = ivf_centroids(emb, k, iters).localCheckpoint()
+    cents = ivf_centroids(emb, k, iters)
     cells = _assign(q, cents).localCheckpoint()
     rsub = _subspaces(_residuals(q, cents, cells), m_count, dsub)
     books = _pq_train(rsub, ksub, pq_iters)
@@ -476,15 +474,16 @@ def ivfpq_topk(emb: DataFrame, n_probes: int = 10, topk: int = 10,
     construction (recall measured in test_ann_recall)."""
     from pyspark.sql import Window
     q = quantized(emb).select("vec_id", "qvec")
-    # pin the training artifacts: centroids (k rows) feed three consumers
-    # (cell assignment, residuals, probe scoring) and cells feed two —
-    # unpinned, each consumer re-executes the full k-means lineage AND
-    # the analyzed plan nests the training subtree hundreds of times;
-    # localCheckpoint cuts both (persist alone only cuts the runtime)
-    cents = ivf_centroids(emb, k, iters).localCheckpoint()
+    # training artifacts feed multiple consumers (centroids: cell
+    # assignment + residuals + probe scoring; cells: residuals +
+    # candidates) — each must be a materialized leaf or the analyzed
+    # plan nests the k-means subtree hundreds of times (persist alone
+    # would cut only the runtime, not the plan). The training functions
+    # checkpoint their own return; cells needs it at this call site.
+    cents = ivf_centroids(emb, k, iters)
     cells = _assign(q, cents).localCheckpoint()
     rsub = _subspaces(_residuals(q, cents, cells), m_count, dsub)
-    books = _pq_train(rsub, ksub, pq_iters).localCheckpoint()
+    books = _pq_train(rsub, ksub, pq_iters)
     codes = _passign(rsub, books).select(
         "vec_id", "m", F.col("cid").alias("code"))
 
@@ -532,12 +531,15 @@ def save_pq_index(emb: DataFrame, path: str, m_count: int = PQ_M,
                   dsub: int = PQ_DSUB, ksub: int = PQ_KSUB,
                   iters: int = PQ_ITERS) -> None:
     """Train and store the PQ index: ``<path>/books`` (m, cid, cv) and
-    ``<path>/codes`` (vec_id, m, code) as parquet. Codes are written
-    bucketed by vec_id hash via the normal parquet writer (the table is
-    M rows per vector — the compressed corpus representation)."""
+    ``<path>/codes`` (vec_id, m, code) as plain parquet (M rows per
+    vector — the compressed corpus representation). A serving deployment
+    that co-locates the ADC join should store codes via
+    ``sources.bucketed.save_bucketed(codes, ..., key="vec_id")``
+    instead — plain parquet re-shuffles the code table per query
+    batch."""
     q = quantized(emb).select("vec_id", "qvec")
     sub = _subspaces(q, m_count, dsub)
-    books = _pq_train(sub, ksub, iters).localCheckpoint()
+    books = _pq_train(sub, ksub, iters)
     codes = _passign(sub, books).select(
         "vec_id", "m", F.col("cid").alias("code"))
     books.write.mode("overwrite").parquet(f"{path}/books")

@@ -27,6 +27,15 @@ def _spark(args):
     return get_spark(master=args.master)
 
 
+def _load_docs(spark, path: str):
+    """Corpus parquet with the (doc_id, text) contract: 'content' is the
+    north-star column name, aliased here once for every subcommand."""
+    docs = spark.read.parquet(path)
+    if "text" not in docs.columns and "content" in docs.columns:
+        docs = docs.withColumnRenamed("content", "text")
+    return docs
+
+
 def _stopwords(args):
     if getattr(args, "stopwords_web", False):
         from .tokenizer import STOPWORDS_WEB
@@ -95,9 +104,7 @@ def cmd_query(args) -> int:
 def cmd_dedup(args) -> int:
     from . import textops
     spark = _spark(args)
-    docs = spark.read.parquet(args.corpus)
-    if "text" not in docs.columns and "content" in docs.columns:
-        docs = docs.withColumnRenamed("content", "text")
+    docs = _load_docs(spark, args.corpus)
     if args.method == "lsh":
         pairs = textops.lsh_candidate_pairs(
             docs, max_bucket_size=args.max_bucket_size or None,
@@ -124,9 +131,7 @@ def cmd_dedup(args) -> int:
 def cmd_quality(args) -> int:
     from . import textops
     spark = _spark(args)
-    docs = spark.read.parquet(args.corpus)
-    if "text" not in docs.columns and "content" in docs.columns:
-        docs = docs.withColumnRenamed("content", "text")
+    docs = _load_docs(spark, args.corpus)
     out = textops.gopher_rules(docs)
     if args.keep_only:
         out = out.where(out.keep == 1)

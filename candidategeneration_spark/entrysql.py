@@ -1406,8 +1406,15 @@ def sql_dedup_clusters() -> str:
 
 def sql_gopher_rules() -> str:
     """Oracle for textops.gopher_rules (length() = characters on both
-    engines; the corpus is ASCII so char == byte never matters)."""
-    sw = "['the','and','of','to','in','is','it','on']"
+    engines; the corpus is ASCII so char == byte never matters). The
+    bounds and stopword list are imported from textops so a tuning
+    change cannot silently diverge the two engines."""
+    from .textops import (
+        GOPHER_MAX_BULLET_Q, GOPHER_MAX_SYMBOL_Q, GOPHER_MAX_TOKENS,
+        GOPHER_MAX_WLEN_Q, GOPHER_MIN_STOP_HITS, GOPHER_MIN_TOKENS,
+        GOPHER_MIN_WLEN_Q, STOPWORDS_EN,
+    )
+    sw = "[" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
     return (
         f"WITH {_TOK_CTE.strip()}, "
         "base AS (SELECT d.doc_id, t.toks, d.text"
@@ -1435,10 +1442,14 @@ def sql_gopher_rules() -> str:
         " CAST(stop_hits AS BIGINT) AS stop_hits FROM sig) "
         "SELECT doc_id, n_tokens, mean_wlen_q, symbol_ratio_q,"
         " bullet_ratio_q, stop_hits,"
-        " CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000"
-        "   AND mean_wlen_q BETWEEN 3000 AND 10000"
-        "   AND symbol_ratio_q <= 100000 AND bullet_ratio_q <= 900000"
-        "   AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep"
+        f" CAST(CASE WHEN n_tokens BETWEEN {GOPHER_MIN_TOKENS}"
+        f" AND {GOPHER_MAX_TOKENS}"
+        f"   AND mean_wlen_q BETWEEN {GOPHER_MIN_WLEN_Q}"
+        f" AND {GOPHER_MAX_WLEN_Q}"
+        f"   AND symbol_ratio_q <= {GOPHER_MAX_SYMBOL_Q}"
+        f" AND bullet_ratio_q <= {GOPHER_MAX_BULLET_Q}"
+        f"   AND stop_hits >= {GOPHER_MIN_STOP_HITS}"
+        " THEN 1 ELSE 0 END AS BIGINT) AS keep"
         " FROM qs")
 
 

@@ -30,9 +30,13 @@ def read_docs_jsonl(spark: SparkSession, path: str,
 
     ``text_field`` / ``id_field`` pin a specific spelling; by default the
     common spellings are coalesced in priority order (mixed shards work).
-    Rows whose text is empty/missing are dropped. Without any id value,
-    doc_id = xxhash64(text) — a pure column function, no ordering
-    shuffle."""
+    Rows whose text is empty/missing are dropped. Id derivation, in
+    order: numeric id value as-is; non-numeric id (UUIDs etc.) →
+    xxhash64 of the id string; no id at all → xxhash64(text), which is
+    CONTENT-ADDRESSED — byte-identical texts collapse to one row at
+    ingest (exact dedup happens here by construction; downstream ops
+    rely on doc_id uniqueness, so the collapse is applied explicitly
+    rather than leaking duplicate ids)."""
     text_candidates = (text_field,) if text_field else _TEXT_FIELDS
     id_candidates = (id_field,) if id_field else _ID_FIELDS
     schema = ", ".join(f"{f} string" for f in
@@ -40,11 +44,14 @@ def read_docs_jsonl(spark: SparkSession, path: str,
     raw = spark.read.schema(schema).json(path)
     text = F.coalesce(*[F.col(f) for f in text_candidates], F.lit("")) \
             .alias("text")
+    id_str = F.coalesce(*[F.col(f) for f in id_candidates])
     doc_id = F.coalesce(
         *[F.col(f).try_cast("long") for f in id_candidates],
+        F.when(id_str.isNotNull(), F.xxhash64(id_str)),
         F.xxhash64(F.coalesce(*[F.col(f) for f in text_candidates],
                               F.lit("")))).alias("doc_id")
-    return raw.select(doc_id, text).where(F.col("text") != "")
+    out = raw.select(doc_id, text).where(F.col("text") != "")
+    return out.dropDuplicates(["doc_id"])
 
 
 def write_docs_jsonl(docs: DataFrame, path: str,

@@ -55,13 +55,18 @@ def dedup_stats_stream(docs: DataFrame) -> DataFrame:
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         (sha,) = key
+        is_new = not state.exists
         first_doc, n = state.get if state.exists else (None, 0)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
-            if first_doc is None:
-                first_doc = int(pdf["doc_id"].min())
+            # a large group arrives as MULTIPLE Arrow chunks: the first
+            # batch's min must be taken across all of them, not frozen at
+            # the first chunk (chunk order is partition-layout-dependent)
+            if is_new:
+                m = int(pdf["doc_id"].min())
+                first_doc = m if first_doc is None else min(first_doc, m)
         state.update((first_doc, n))
         yield pd.DataFrame({"content_sha": [sha],
                             "first_doc_id": [first_doc],
