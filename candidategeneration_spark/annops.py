@@ -579,3 +579,50 @@ def pq_adc_topk_prepared(books: DataFrame, codes: DataFrame,
             .where(F.col("rank") < topk)
             .select("qid", F.col("rank").cast("long").alias("rank"),
                     "vec_id", "score_q"))
+
+
+def save_ivf_index(emb: DataFrame, path: str, k: int = IVF_K,
+                   iters: int = IVF_ITERS) -> None:
+    """Train and store the IVF-Flat index: ``<path>/cents`` (cid, cv) and
+    ``<path>/cells`` (vec_id, cid, qvec) — the inverted file keeps the
+    quantized vector per member (Flat = exact scoring inside probed
+    cells). At deployment scale write cells via sources.bucketed keyed
+    on cid so a probe reads only its buckets."""
+    q = quantized(emb).select("vec_id", "qvec")
+    cents = ivf_centroids(emb, k, iters)
+    cells = _assign(q, cents).join(q, "vec_id")
+    cents.write.mode("overwrite").parquet(f"{path}/cents")
+    cells.write.mode("overwrite").parquet(f"{path}/cells")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(cents, cells) back from :func:`save_ivf_index`."""
+    return (spark.read.parquet(f"{path}/cents"),
+            spark.read.parquet(f"{path}/cells"))
+
+
+def ivf_topk_prepared(cents: DataFrame, cells: DataFrame,
+                      queries: DataFrame, topk: int = 10,
+                      nprobe: int = IVF_NPROBE) -> DataFrame:
+    """(qid, rank, vec_id, score_q): stored-index IVF top-k for external
+    queries (qid, embedding). Each query probes its ``nprobe`` nearest
+    cells and exact-scores only their members — the cell equi-join is
+    the only corpus-side work; with a cid-bucketed cell table it is also
+    shuffle-free."""
+    from pyspark.sql import Window
+    qv = quantized(queries).select(F.col("qid").cast("long").alias("qid"),
+                                   F.col("qvec").alias("qv"))
+    pcd = (qv.crossJoin(F.broadcast(cents))
+           .select("qid", "qv", "cid",
+                   _sqdist(F.col("qv"), F.col("cv")).alias("dist")))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
+    probe_cells = (pcd.withColumn("rn", F.row_number().over(w))
+                   .where(F.col("rn") <= nprobe).select("qid", "qv", "cid"))
+    scored = (cells.join(F.broadcast(probe_cells), "cid")
+              .select("qid", "vec_id",
+                      _int_dot(F.col("qvec"), F.col("qv")).alias("score_q")))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w2) - 1)
+            .where(F.col("rank") < topk)
+            .select("qid", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "score_q"))

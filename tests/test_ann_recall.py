@@ -215,3 +215,32 @@ def test_pq_index_save_load_prepared_serving(spark, tmp_path):
     got = [r["vec_id"] for r in
            annops.pq_adc_topk_prepared(books, codes, ext, topk=5).collect()]
     assert len(set(got) & set(range(5))) >= 3, got
+
+
+def test_ivf_index_save_load_prepared_serving(spark, tmp_path):
+    """Stored IVF index serves corpus-member queries identically to the
+    inline ivf_topk (minus the self-match row) and retrieves the right
+    cluster for an external query."""
+    emb = _clustered_emb(spark, n_clusters=6, per_cluster=5)
+    path = str(tmp_path / "ivf_index")
+    annops.save_ivf_index(emb, path)
+    cents, cells = annops.load_ivf_index(spark, path)
+
+    probes = emb.where("vec_id < 5").select(
+        annops.F.col("vec_id").alias("qid"), "embedding")
+    prepared = annops.ivf_topk_prepared(cents, cells, probes, topk=31)
+    inline = annops.ivf_topk(emb, n_probes=5, topk=30)
+    prep = {(r["qid"], r["vec_id"]): r["score_q"]
+            for r in prepared.collect() if r["qid"] != r["vec_id"]}
+    inl = {(r["qid"], r["vec_id"]): r["score_q"]
+           for r in inline.collect()}
+    assert prep == inl
+
+    import numpy as np
+    c0 = np.stack([r["embedding"] for r in
+                   emb.where("vec_id < 5").collect()]).mean(axis=0)
+    ext = spark.createDataFrame(
+        [(999, [float(x) for x in c0])], "qid long, embedding array<double>")
+    got = [r["vec_id"] for r in
+           annops.ivf_topk_prepared(cents, cells, ext, topk=5).collect()]
+    assert len(set(got) & set(range(5))) >= 3, got
