@@ -133,3 +133,65 @@ def compact_index(spark: SparkSession, log_path: str,
     stats = global_stats_from_postings(postings, n_docs)
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
     return build_segments(scored, salt_buckets=salt_buckets), stats
+
+
+def deletes_sink(delete_stream: DataFrame, deletes_path: str,
+                 checkpoint: str, id_col: str = "doc_id",
+                 available_now: bool = True):
+    """Append deletion tombstones (doc_id) — the Lucene-style delete
+    story: documents are never rewritten in place; a tiny tombstone log
+    accumulates ids, queries anti-filter against it, and the next
+    compaction drops the documents for good. Same exactly-once parquet
+    sink semantics as the postings log."""
+    w = (delete_stream.selectExpr(f"cast({id_col} as long) as doc_id")
+         .writeStream
+         .format("parquet")
+         .option("path", deletes_path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def compact_index_with_deletes(spark: SparkSession, log_path: str,
+                               deletes_path: str,
+                               salt_buckets: int = 0,
+                               doc_log_path: str | None = None
+                               ) -> tuple[DataFrame, dict]:
+    """Exact segments for (everything ingested) MINUS (tombstoned docs).
+
+    The tombstones are applied BEFORE global stats: n_docs, avgdl, df and
+    hence every BM25 score reflect only live documents — the result is
+    byte-identical to a from-scratch batch build of the live corpus
+    (asserted in tests), not merely a post-filtered stale index. The
+    tombstone table is tiny → broadcast anti-joins; the postings log is
+    read once."""
+    from pyspark.sql import functions as F
+
+    from ..build import (build_segments, global_stats_from_postings,
+                         score_postings)
+    dead = spark.read.parquet(deletes_path).select("doc_id").distinct()
+    postings = spark.read.parquet(log_path).join(
+        F.broadcast(dead), "doc_id", "left_anti")
+    if doc_log_path is not None:
+        n_docs = (spark.read.parquet(doc_log_path).select("doc_id")
+                  .distinct()
+                  .join(F.broadcast(dead), "doc_id", "left_anti").count())
+    else:
+        n_docs = postings.select("doc_id").distinct().count()
+    stats = global_stats_from_postings(postings, n_docs)
+    scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
+    return build_segments(scored, salt_buckets=salt_buckets), stats
+
+
+def filter_deleted(results: DataFrame, spark: SparkSession,
+                   deletes_path: str) -> DataFrame:
+    """Serve-time tombstone filter for results produced against a store
+    compacted BEFORE the deletes: anti-join top-k rows on the tombstone
+    log. Exact suppression of deleted docs; ranks of survivors are
+    preserved as-is (the freshness trade until the next compaction —
+    identical posture to Lucene deleted-docs bitmaps)."""
+    from pyspark.sql import functions as F
+    dead = spark.read.parquet(deletes_path).select("doc_id").distinct()
+    return results.join(F.broadcast(dead), "doc_id", "left_anti")
