@@ -30,6 +30,16 @@ segment architecture expressed in Structured Streaming:
 At 100 TB: the postings log is append-only (no shuffle on the hot path —
 the only streaming-state-free shape), compaction cost is one normal build
 over the log, and both sides reuse every batch kernel unchanged.
+
+3. **Delete / update** (:func:`deletes_sink` → :func:`compact_index_with_
+   deletes`, :func:`filter_deleted`): the Lucene posture — documents are
+   never rewritten; tombstones accumulate in a tiny log, serving
+   anti-filters against it, the next compaction drops dead docs from
+   stats AND scores. UPDATES need no extra machinery: the corpus natural
+   key (repo, path, commit — ``corpusio.with_doc_id``) gives every
+   version its own doc_id by construction, so an update is "ingest the
+   new commit's id + tombstone the old one" — exactly Lucene's
+   delete-and-re-add with a fresh internal id.
 """
 
 from __future__ import annotations
