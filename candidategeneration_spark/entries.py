@@ -524,3 +524,8 @@ def q_gopher_rules(spark, sf_dir):
 def q_events_rollup(spark, sf_dir):
     from .relops import events_rollup
     return events_rollup(spark, sf_dir)
+
+
+def q_value_percentiles(spark, sf_dir):
+    from .relops import value_percentiles
+    return value_percentiles(spark, sf_dir)

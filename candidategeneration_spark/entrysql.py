@@ -1465,3 +1465,23 @@ def sql_events_rollup() -> str:
         " CAST(sum(vq) AS BIGINT) AS sum_value_q,"
         " CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS lvl"
         " FROM ev GROUP BY ROLLUP (event_type, day)")
+
+
+def sql_value_percentiles() -> str:
+    """Oracle for relops.value_percentiles (lower nearest-rank)."""
+    def sel(p, name):
+        return (f"p{p} AS (SELECT event_type, vq AS {name} FROM r"
+                f" WHERE rn = CAST(floor((n - 1) * {p} / 100.0) AS BIGINT)"
+                " + 1)")
+    return (
+        "WITH ev AS (SELECT event_type,"
+        " CAST(round(value * 1000) AS BIGINT) AS vq FROM events), "
+        "r AS (SELECT event_type, vq,"
+        " row_number() OVER (PARTITION BY event_type ORDER BY vq) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM ev), "
+        "cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n"
+        " FROM ev GROUP BY event_type), "
+        f"{sel(50, 'p50_q')}, {sel(90, 'p90_q')}, {sel(99, 'p99_q')} "
+        "SELECT c.event_type, c.n, p50_q, p90_q, p99_q FROM cnt c"
+        " JOIN p50 USING (event_type) JOIN p90 USING (event_type)"
+        " JOIN p99 USING (event_type)")

@@ -151,3 +151,30 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n"),
                     F.col("sum_value_q").cast("long").alias("sum_value_q"),
                     F.col("lvl").cast("long").alias("lvl")))
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, p50_q, p90_q, p99_q): EXACT percentiles of the
+    quantized event value per type — rank-based (k = floor((n-1)·p), the
+    lower nearest-rank convention), not sampled and not interpolated, so
+    the result is integer-deterministic. One shuffle to rank within each
+    type + one tiny pivot; the reference's sampled-quantile threshold
+    (O7) is the approximate cousin of this exact form."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000).cast("long")
+        .alias("vq"))
+    w = Window.partitionBy("event_type").orderBy(F.asc("vq"))
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    j = ranked.join(counts, "event_type")
+    out = None
+    for p, name in ((50, "p50_q"), (90, "p90_q"), (99, "p99_q")):
+        sel = (j.where(F.col("rn") ==
+                       F.floor((F.col("n") - 1) * p / 100) + 1)
+               .select("event_type", F.col("vq").alias(name)))
+        out = sel if out is None else out.join(sel, "event_type")
+    return (counts.join(out, "event_type")
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    F.col("p50_q").cast("long").alias("p50_q"),
+                    F.col("p90_q").cast("long").alias("p90_q"),
+                    F.col("p99_q").cast("long").alias("p99_q")))
