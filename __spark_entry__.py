@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": entries.q_gopher_rules,
         "events_rollup": entries.q_events_rollup,
         "value_percentiles": entries.q_value_percentiles,
+        "events_cube": entries.q_events_cube,
         # quality-model training + budgeted top-layer path (Q1-Q8)
         "quality_matrix": entries.q_quality_matrix,
         "toplayer_topk": entries.q_toplayer_topk,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": entrysql.sql_gopher_rules(),
         "events_rollup": entrysql.sql_events_rollup(),
         "value_percentiles": entrysql.sql_value_percentiles(),
+        "events_cube": entrysql.sql_events_cube(),
         "quality_matrix": entrysql.sql_quality_matrix(),
         "toplayer_topk": entrysql.sql_toplayer_topk(),
         "online_greedy_topk": entrysql.sql_online_greedy_topk(

@@ -529,3 +529,8 @@ def q_events_rollup(spark, sf_dir):
 def q_value_percentiles(spark, sf_dir):
     from .relops import value_percentiles
     return value_percentiles(spark, sf_dir)
+
+
+def q_events_cube(spark, sf_dir):
+    from .relops import events_cube
+    return events_cube(spark, sf_dir)

@@ -1485,3 +1485,19 @@ def sql_value_percentiles() -> str:
         "SELECT c.event_type, c.n, p50_q, p90_q, p99_q FROM cnt c"
         " JOIN p50 USING (event_type) JOIN p90 USING (event_type)"
         " JOIN p99 USING (event_type)")
+
+
+def sql_events_cube() -> str:
+    """Oracle for relops.events_cube. DuckDB dayofweek: Sunday=0 vs
+    Spark's Sunday=1, so the oracle shifts by +1 to match Spark's
+    1..7 convention."""
+    return (
+        "WITH ev AS (SELECT event_type,"
+        " CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,"
+        " CAST(round(value * 1000) AS BIGINT) AS vq FROM events) "
+        "SELECT COALESCE(event_type, 'ALL') AS event_type,"
+        " CAST(COALESCE(dow, -1) AS BIGINT) AS dow,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(vq) AS BIGINT) AS sum_value_q,"
+        " CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT) AS lvl"
+        " FROM ev GROUP BY CUBE (event_type, dow)")

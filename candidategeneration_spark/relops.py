@@ -178,3 +178,26 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p50_q").cast("long").alias("p50_q"),
                     F.col("p90_q").cast("long").alias("p90_q"),
                     F.col("p99_q").cast("long").alias("p99_q")))
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, dow, n, sum_value_q, lvl): CUBE aggregation — all four
+    grouping sets of (event_type, day-of-week) in one shuffle (ROLLUP's
+    superset: the (,dow)-only marginal exists here and not there). Same
+    exactness posture as events_rollup: per-row quantization before the
+    int64 sums."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.round(F.col("value") * 1000).cast("long").alias("vq"))
+    return (ev.cube("event_type", "dow")
+            .agg(F.count("*").alias("n"),
+                 F.sum("vq").alias("sum_value_q"),
+                 F.grouping_id().alias("lvl"))
+            .select(F.coalesce("event_type", F.lit("ALL"))
+                     .alias("event_type"),
+                    F.coalesce(F.col("dow"), F.lit(-1)).cast("long")
+                     .alias("dow"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("sum_value_q").cast("long").alias("sum_value_q"),
+                    F.col("lvl").cast("long").alias("lvl")))
