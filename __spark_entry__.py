@@ -26,7 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the round driver checks the first 50 entries of
+    # this dict against their oracles. Round 3 left the then-last six
+    # (lm_probabilities — never checked — plus five r02-green gates)
+    # without a fresh CORRECTNESS row, so they now lead; six gates that
+    # are hash-green in BOTH r02 and r03 (token_counts, lang_id,
+    # fingerprint, mm_*, frame_sample) rotate to the tail.
     return {
+        # never driver-checked before round 4 (Q9) + r02-green stale gates
+        "lm_probabilities": entries.q_lm_probabilities,
+        "hits_rank": entries.q_hits_rank,
+        "q1_pricing_summary": entries.q_pricing_summary,
+        "q3_top_orders": entries.q_top_orders,
+        "window_topn": entries.q_window_topn,
+        "sessionize": entries.q_sessionize,
         # core fulltext engine (SURVEY.md §2.2/2.4: T1-T5, A1-A3)
         "global_stats": entries.q_global_stats,
         "term_stats": entries.q_term_stats,
@@ -56,14 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": entries.q_simhash,
         "ngram_jaccard": entries.q_ngram_jaccard,
         # text analysis
-        "lang_id": entries.q_lang_id,
         "quality_score": entries.q_quality_score,
-        "token_counts": entries.q_token_counts,
-        "fingerprint": entries.q_fingerprint,
-        # multimodal plumbing (stubbed decode, real Spark plumbing)
-        "mm_extract": entries.q_mm_extract,
-        "frame_sample": entries.q_frame_sample,
-        "mm_features": entries.q_mm_features,
         # similarity search over embeddings
         "ann_brute_topk": entries.q_ann_brute_topk,
         "ann_lsh_buckets": entries.q_ann_lsh_buckets,
@@ -93,14 +99,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toplayer_topk": entries.q_toplayer_topk,
         "online_greedy_topk": entries.q_online_greedy_topk,
         "selection_lookup_topk": entries.q_selection_lookup_topk,
-        "lm_probabilities": entries.q_lm_probabilities,
-        # HITS DCG-style scoring (A6/M3)
-        "hits_rank": entries.q_hits_rank,
-        # relational operator surface (S/J/A/O families)
-        "q1_pricing_summary": entries.q_pricing_summary,
-        "q3_top_orders": entries.q_top_orders,
-        "window_topn": entries.q_window_topn,
-        "sessionize": entries.q_sessionize,
+        # tail: hash-green in both r02 and r03 — safe to sit past the
+        # driver's 50-entry check window this round
+        "token_counts": entries.q_token_counts,
+        "lang_id": entries.q_lang_id,
+        "fingerprint": entries.q_fingerprint,
+        "mm_extract": entries.q_mm_extract,
+        "frame_sample": entries.q_frame_sample,
+        "mm_features": entries.q_mm_features,
     }
 
 

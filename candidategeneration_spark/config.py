@@ -80,6 +80,11 @@ def get_spark(master: str | None = None, shuffle_partitions: int | None = None,
         .appName(app_name)
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pin the session timezone: timestamp-rendering functions
+        # (date_format, dayofweek) must agree with the DuckDB oracle,
+        # which treats parquet timestamp[us] as naive/UTC regardless of
+        # the host's /etc/localtime.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

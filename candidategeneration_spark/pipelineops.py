@@ -21,15 +21,17 @@ each op has a bit-identical DuckDB oracle (same design rules as textops.py):
   more than once in the document.
 
 Scale notes (100 TB):
-- decontaminate: phrases (eval benchmarks) are always small → broadcast
-  nested-loop against the padded token string; the padded string is a
-  projection of the tokenize pass the index build already does.
+- decontaminate: k-gram equi-join prefilter (BroadcastHashJoin on the
+  phrase's first k tokens) + exact verify on the surviving candidates —
+  linear in corpus size and independent of phrase count, unlike the
+  round-3 broadcast nested-loop `contains`.
 - pii_scrub: embarrassingly parallel column math, no shuffle at all.
-- sample_split: one window per stratum — a giant stratum lands on few
-  tasks; for extreme strata use the same two-stage partial-rank + offset
-  merge the segment build uses (build.py skew path). The window-free
-  variant (pure hash threshold ``h % 1000 < 800``) needs no shuffle but
-  gives only approximate fractions; this exact-quota form is the gate.
+- sample_split: skew-safe two-stage partial-rank + offset merge (the
+  quality.posting_positions pattern) — no stratum-wide window task; a
+  dominant 90%-one-language stratum splits across range partitions. The
+  window-free variant (pure hash threshold ``h % 1000 < 800``) needs no
+  shuffle but gives only approximate fractions; this exact-quota form is
+  the gate.
 - pack_sequences: one shuffle on the bucket key; packing inside a bucket
   is sequential by construction (greedy order dependence), so buckets are
   the parallelism unit — size n_buckets ≫ executors. The kernel is
@@ -63,24 +65,91 @@ PACK_CAP = 120
 PACK_BUCKETS = 8
 
 
+DECON_PREFIX_K = 4  # prefix-gram length for long-phrase prefiltering
+
+
 def decontaminate(docs: DataFrame, phrases: DataFrame,
                   text_col: str = "text") -> DataFrame:
     """(qid, doc_id) for every document containing an eval phrase.
 
     ``phrases``: (qid long, phrase string) — terms joined by single
     spaces, already in tokenizer-normal form. Containment is whole-token:
-    the document's token array is space-joined and space-padded, so
-    ``' merge sort '`` cannot match inside ``'mergesort'``.
+    a phrase of L tokens matches iff some length-L token window of the
+    document equals it, so ``merge sort`` cannot match inside
+    ``mergesort``.
+
+    SCALE-SAFE (round 4): the old form was a broadcast nested-loop
+    ``padded.contains(needle)`` — every doc × every phrase × doc length
+    character work, the slowest stage of the pipeline once the eval suite
+    reaches 10⁴-10⁵ phrases. Now a hash-join prefilter (the same spirit
+    as the reference pruning probes with its filter set,
+    InvertedIndex.java:291):
+
+    - short phrases (< ``DECON_PREFIX_K`` tokens): one doc-window pass
+      per distinct short length (≤ 3 passes), exact equality equi-join —
+      no verify step needed, window == phrase IS the match.
+    - long phrases (≥ ``DECON_PREFIX_K`` tokens): one doc-window pass at
+      k = DECON_PREFIX_K, equi-join on the phrase's first k-gram, then
+      exact whole-token ``contains`` verification on the (tiny) surviving
+      candidate set only.
+
+    Both joins broadcast the phrase side (eval suites are small) as a
+    BroadcastHashJoin on the gram key — plan-asserted in test_plans; doc
+    windows are built JVM-side (transform/slice/array_join, stays in
+    codegen) in a bounded number of corpus passes (≤ k-1 short-length
+    passes + one k-gram pass + one verify pass) regardless of
+    phrase-length diversity or phrase count.
     """
-    padded = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.concat(F.lit(" "),
-                 F.array_join(tokens_col(F.col(text_col)), " "),
-                 F.lit(" ")).alias("padded"))
-    needle = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
-    return (padded.join(F.broadcast(phrases),
-                        F.col("padded").contains(needle))
-                  .select(F.col("qid").cast("long").alias("qid"), "doc_id"))
+    k = DECON_PREFIX_K
+    p = phrases.select(F.col("qid").cast("long").alias("qid"),
+                       F.col("phrase"),
+                       F.size(F.split(F.col("phrase"), " ")).alias("plen"))
+    toks = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       tokens_col(F.col(text_col)).alias("toks"))
+
+    def windows(src: DataFrame, length) -> DataFrame:
+        return src.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"CASE WHEN size(toks) >= {length}"
+                f" THEN transform(sequence(1, size(toks) - ({length}) + 1),"
+                f"      i -> array_join(slice(toks, i, {length}), ' '))"
+                " ELSE CAST(array() AS array<string>) END"
+            )).alias("gram"))
+
+    short = p.where(F.col("plen") < k)
+    longp = p.where(F.col("plen") >= k)
+    parts = []
+    # distinct short lengths actually present (bounded by k-1 passes)
+    short_lens = [r["plen"] for r in
+                  short.select("plen").distinct().collect()]
+    for ln in sorted(short_lens):
+        cand = F.broadcast(short.where(F.col("plen") == ln)
+                           .select("qid", F.col("phrase").alias("gram")))
+        parts.append(windows(toks, ln).join(cand, "gram")
+                     .select("qid", "doc_id"))
+    if longp.take(1):
+        pref = F.broadcast(longp.select(
+            "qid", "phrase",
+            F.array_join(F.slice(F.split(F.col("phrase"), " "), 1, k), " ")
+             .alias("gram")))
+        hits = windows(toks, k).join(pref, "gram") \
+                               .select("qid", "doc_id", "phrase").distinct()
+        padded = toks.select(
+            "doc_id",
+            F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" "))
+             .alias("padded"))
+        needle = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+        parts.append(hits.join(padded, "doc_id")
+                     .where(F.col("padded").contains(needle))
+                     .select("qid", "doc_id"))
+    if not parts:
+        return toks.sparkSession.createDataFrame(
+            [], "qid long, doc_id long")
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.distinct()
 
 
 def pii_scrub(df: DataFrame, id_col: str = "doc_id",
@@ -107,27 +176,100 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id",
         F.md5(t3).alias("scrub_md5"))
 
 
-def sample_split(docs: DataFrame, stratum_col: str = "lang") -> DataFrame:
+def sample_split(docs: DataFrame, stratum_col: str = "lang",
+                 num_partitions: int | None = None) -> DataFrame:
     """Deterministic stratified split: (doc_id, stratum, h, split).
 
     Documents are ordered within each stratum by a multiplicative hash of
     doc_id (ties broken by doc_id) and the first 80.0% go to train, the
     next 10.0% to val, the rest to test — exact per-stratum quotas, fully
     reproducible, no RNG state anywhere.
+
+    SKEW-SAFE (round 4): the old ``row_number().over(partitionBy(stratum))``
+    put a whole stratum on ONE task — at 100× scale a dominant ``lang``
+    stratum (most corpora are ~90% one language) serializes the split.
+    Same cure as :func:`quality.posting_positions`: ``repartitionByRange``
+    over the full split order (stratum, h, doc_id) + per-partition sort,
+    a tiny boundary job collecting per-partition per-stratum counts
+    (strata are contiguous in a range-sorted layout, so each partition
+    holds only a handful), driver prefix-sum → broadcast offsets +
+    totals, then one ``mapInPandas`` pass assigns global ranks and the
+    per-mille quota labels. Byte-identical to the window version (the
+    order is total) with no task ever holding more than its range slice
+    of a stratum. All rank arithmetic is int64 (the old int32
+    ``row_number * 1000`` silently overflowed past ~2.147M rows/stratum).
     """
+    spark = docs.sparkSession
+    sc = spark.sparkContext
+    if num_partitions is None:
+        num_partitions = sc.defaultParallelism * 4
     d = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col(stratum_col).alias("stratum"),
+        F.col(stratum_col).cast("string").alias("stratum"),
         ((F.col("doc_id") * F.lit(MH_MULT)) % F.lit(MH_PRIME))
         .cast("long").alias("h"))
-    w = Window.partitionBy("stratum")
-    wo = w.orderBy("h", "doc_id")
-    rn = F.row_number().over(wo)
-    n = F.count("*").over(w)
-    split = (F.when(rn * 1000 <= n * SPLIT_TRAIN_PM, "train")
-              .when(rn * 1000 <= n * SPLIT_VAL_PM, "val")
-              .otherwise("test"))
-    return d.select("doc_id", "stratum", "h", split.alias("split"))
+    order = [F.col("stratum").asc(), F.col("h").asc(), F.col("doc_id").asc()]
+    # persist: the boundary job and the tag job must see the SAME sampled
+    # range boundaries
+    part = d.repartitionByRange(num_partitions, *order) \
+            .sortWithinPartitions(*order).persist()
+
+    def counts(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        agg: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for s, c in pdf["stratum"].value_counts().items():
+                agg[s] = agg.get(s, 0) + int(c)
+        yield pd.DataFrame([(pid, s, n) for s, n in agg.items()],
+                           columns=["pid", "stratum", "n"])
+
+    meta = part.select("stratum").mapInPandas(
+        counts, schema="pid int, stratum string, n long").collect()
+    per: dict[str, list[tuple[int, int]]] = {}
+    for r in meta:
+        per.setdefault(r["stratum"], []).append((int(r["pid"]), int(r["n"])))
+    totals: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for s, lst in per.items():
+        lst.sort()
+        run = 0
+        for pid, n in lst:
+            offsets[(pid, s)] = run
+            run += n
+        totals[s] = run
+    bc = sc.broadcast((totals, offsets))
+
+    def tag(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        tot, offs = bc.value
+        seen: dict[str, int] = {}
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            s_arr = pdf["stratum"].to_numpy()
+            rn = np.empty(m, np.int64)
+            nn = np.empty(m, np.int64)
+            run_starts = np.flatnonzero(np.r_[True, s_arr[1:] != s_arr[:-1]])
+            run_ends = np.r_[run_starts[1:], m]
+            for a, b in zip(run_starts, run_ends):
+                s = s_arr[a]
+                base = offs.get((pid, s), 0) + seen.get(s, 0)
+                rn[a:b] = base + np.arange(1, b - a + 1, dtype=np.int64)
+                nn[a:b] = tot[s]
+                seen[s] = seen.get(s, 0) + (b - a)
+            out = pdf.copy()
+            out["split"] = np.where(
+                rn * 1000 <= nn * SPLIT_TRAIN_PM, "train",
+                np.where(rn * 1000 <= nn * SPLIT_VAL_PM, "val", "test"))
+            yield out
+
+    schema = "doc_id long, stratum string, h long, split string"
+    return part.mapInPandas(tag, schema=schema)
 
 
 def pack_sequences(docs: DataFrame, cap: int = PACK_CAP,

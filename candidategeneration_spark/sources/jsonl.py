@@ -44,14 +44,21 @@ def read_docs_jsonl(spark: SparkSession, path: str,
     raw = spark.read.schema(schema).json(path)
     text = F.coalesce(*[F.col(f) for f in text_candidates], F.lit("")) \
             .alias("text")
+    # Resolve ONE id field per row in priority order FIRST, then derive:
+    # coalescing try_cast(long) across all candidates would let a
+    # lower-priority numeric id (id="7") override a higher-priority
+    # non-numeric one (doc_id="uuid-abc").
     id_str = F.coalesce(*[F.col(f) for f in id_candidates])
     doc_id = F.coalesce(
-        *[F.col(f).try_cast("long") for f in id_candidates],
+        id_str.try_cast("long"),
         F.when(id_str.isNotNull(), F.xxhash64(id_str)),
         F.xxhash64(F.coalesce(*[F.col(f) for f in text_candidates],
                               F.lit("")))).alias("doc_id")
     out = raw.select(doc_id, text).where(F.col("text") != "")
-    return out.dropDuplicates(["doc_id"])
+    # Deterministic duplicate collapse: distinct texts colliding on an id
+    # keep the lexicographically smallest text (dropDuplicates would keep
+    # an arbitrary, run-dependent survivor).
+    return out.groupBy("doc_id").agg(F.min("text").alias("text"))
 
 
 def write_docs_jsonl(docs: DataFrame, path: str,

@@ -456,6 +456,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
     labels = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                          F.col("doc_id").cast("long").alias("label")) \
                  .localCheckpoint()
+    changed = 0
     for _ in range(max_iters):
         nbr_min = (edges.join(labels,
                               edges["src"] == labels["doc_id"])
@@ -495,6 +496,14 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame | None = None,
                  .select("src", F.col("label").alias("dst"))
                  .where(F.col("src") != F.col("dst")).distinct()
                  .localCheckpoint())
+    if changed != 0:
+        # Partially merged labels are silently WRONG components — fail
+        # loudly instead. With path halving + edge contraction this needs
+        # a label chain of length ~2^max_iters, i.e. it cannot trigger on
+        # real near-dup graphs; hitting it means the guard is misused.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            f"rounds ({changed} labels still changing); raise max_iters")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -155,12 +155,64 @@ def test_repetition_stats_hand_case(spark):
 # ---------------------------------------------------------------------------
 
 def test_decontaminate_broadcasts_phrases(spark):
+    """Round 4: the phrase prefilter must be an equi (hash) join on the
+    gram key — a BroadcastNestedLoopJoin would be O(docs × phrases)."""
     docs = _docs(spark, [(0, "a1 b1"), (1, "b1 c1")])
     phrases = spark.createDataFrame([(0, "a1 b1")], "qid long, phrase string")
     plan = P.decontaminate(docs, phrases)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
-        plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_long_phrases_verify_path(spark):
+    """Phrases >= DECON_PREFIX_K tokens take the k-gram prefilter + exact
+    verify path; a doc sharing only the phrase's first k-gram (prefilter
+    hit) must be rejected by the verify step."""
+    k = P.DECON_PREFIX_K
+    phrase = " ".join(f"t{i}" for i in range(k + 2))        # 6 tokens
+    prefix_only = " ".join(f"t{i}" for i in range(k))        # first k only
+    docs = _docs(spark, [
+        (0, f"intro {phrase} outro"),          # full match
+        (1, f"xx {prefix_only} yy zz"),        # prefilter hit, verify miss
+        (2, "nothing shared here at all"),
+        (3, phrase),                            # exact doc == phrase
+    ])
+    phrases = spark.createDataFrame([(7, phrase)], "qid long, phrase string")
+    got = {(r["qid"], r["doc_id"])
+           for r in P.decontaminate(docs, phrases).collect()}
+    assert got == {(7, 0), (7, 3)}
+    plan = P.decontaminate(docs, phrases)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sample_split_no_stratum_window(spark):
+    """Round 4 skew fix: a 95%-one-stratum corpus must not funnel through
+    a stratum-partitioned Window (one task holding the giant stratum).
+    The two-stage plan has no Window operator at all, and the result is
+    byte-identical to the window definition."""
+    import pandas as pd
+    from candidategeneration_spark.textops import MH_MULT, MH_PRIME
+
+    rows = [(i, "en" if i % 20 else "de") for i in range(1000)]  # 95% en
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = P.sample_split(docs, num_partitions=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    got = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # reference: the window definition, computed in pandas with int64
+    ref = pd.DataFrame(rows, columns=["doc_id", "stratum"])
+    ref["h"] = (ref["doc_id"] * MH_MULT) % MH_PRIME
+    ref = ref.sort_values(["stratum", "h", "doc_id"])
+    ref["rn"] = ref.groupby("stratum").cumcount() + 1
+    ref["n"] = ref.groupby("stratum")["doc_id"].transform("size")
+    ref["split"] = "test"
+    ref.loc[ref["rn"] * 1000 <= ref["n"] * P.SPLIT_VAL_PM, "split"] = "val"
+    ref.loc[ref["rn"] * 1000 <= ref["n"] * P.SPLIT_TRAIN_PM, "split"] = "train"
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert got["split"].tolist() == ref["split"].tolist()
+    assert got["h"].tolist() == ref["h"].tolist()
 
 
 def test_pack_sequences_single_shuffle(spark):
