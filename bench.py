@@ -51,11 +51,11 @@ def main() -> None:
     n_post_bi = build_postings(docs, dbigram_distance=5).count()
 
     def timed_build(dist):
-        # min of 2 reps, fresh cache each: this host shows bursty noise
+        # min of 3 reps, fresh cache each: this host shows bursty noise
         # (identical runs measured 2x apart); min is the least-interference
         # estimate of the engine's throughput
         best = None
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             d = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
             d.count()

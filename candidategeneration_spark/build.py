@@ -41,6 +41,17 @@ from .tokenizer import DBIGRAM_DISTANCE, tokenize_pandas, tokens_col
 PAIR_SEP = "\x1f"  # string analogue of the reference's a<<32|b long packing
                    # (``WWW.java:432-440``) for our string-keyed terms
 
+# Stage-sizing targets (round 4: the unigram fast path had drifted 52k→39k
+# postings/s across three rounds; profiling showed the cost was pure Spark
+# orchestration, not kernel CPU — a single-file corpus tokenized on ONE
+# task, and the encode shuffle fixed at 4×cores partitions regardless of
+# volume, paying ~15 ms of mapInPandas overhead per mostly-EMPTY task at
+# small scale). Both knobs size stages by measured kernel throughput and
+# are inert at 100 TB (inputs arrive with ≥cores partitions; the encode
+# partition count is capped at 4×cores as before):
+DOCS_PER_TOKENIZE_TASK = 512       # ~30 ms of Arrow tokenize+tf per task
+POSTINGS_PER_ENCODE_TASK = 16_384  # ~35 ms of vectorized encode per task
+
 POSTINGS_SCHEMA = StructType([
     StructField("term", StringType()),
     StructField("doc_id", LongType()),
@@ -164,7 +175,8 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    dbigram_distance: int | None = None,
                    term_filter: DataFrame | None = None,
-                   stopwords=None) -> DataFrame:
+                   stopwords=None,
+                   input_partitions: int | None = None) -> DataFrame:
     """corpus → (term, doc_id, tf, doc_len, maxtf) via one Arrow pass.
 
     Map-side pre-aggregation: raw tokens never leave the Python worker —
@@ -176,11 +188,20 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
     of the reference's query-trace filter-set probe during generation
     (``InvertedIndex.java:291``/``374``; SURVEY §2.2 T6 / §2.3 J2). Default
     None = index everything.
+
+    ``input_partitions``: optional target partition count for the tokenize
+    pass — a single-file local corpus otherwise tokenizes on ONE task. The
+    corpus is repartitioned only UP (never coalesced), so a 100 TB input
+    that already arrives with thousands of splits is untouched.
+    :func:`build_index` derives the target from n_docs.
     """
     from .config import ensure_on_executors
     ensure_on_executors(docs.sparkSession)
     cols = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        F.col(text_col).alias("__text"))
+    if input_partitions is not None and input_partitions > 1 \
+            and cols.rdd.getNumPartitions() < input_partitions:
+        cols = cols.repartition(input_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -453,10 +474,12 @@ def global_stats_from_postings(postings: DataFrame, n_docs: int) -> dict:
     :func:`global_stats` (reference scans every doc, InvertedIndex.java:171).
     """
     uni = postings.where(~F.col("term").contains(PAIR_SEP))
-    row = uni.agg(F.sum("tf").alias("tot")).collect()[0]
+    row = uni.agg(F.sum("tf").alias("tot"),
+                  F.count("*").alias("np")).collect()[0]
     tot = int(row["tot"] or 0)
     return {"n_docs": n_docs, "total_tokens": tot,
-            "avgdl": avgdl_floor(tot, n_docs) if n_docs else 0}
+            "avgdl": avgdl_floor(tot, n_docs) if n_docs else 0,
+            "n_postings": int(row["np"])}
 
 
 # --------------------------------------------------------------------------
@@ -513,7 +536,8 @@ def _stream_encode(batches, n_docs: int, avgdl: int, score_in: bool):
 
 
 def build_segments_fast(postings: DataFrame, n_docs: int, avgdl: int,
-                        num_partitions: int | None = None) -> DataFrame:
+                        num_partitions: int | None = None,
+                        n_postings: int | None = None) -> DataFrame:
     """Unigram fast path: ONE shuffle total.
 
     repartition(term) → Tungsten sortWithinPartitions(term, doc_id) →
@@ -523,14 +547,23 @@ def build_segments_fast(postings: DataFrame, n_docs: int, avgdl: int,
     per-term when the dictionary is dominated by tiny lists (unique
     identifiers at 10^12-file scale). Not applicable to salted builds
     (partial groups don't know df) — use :func:`build_segments` there.
+
+    ``n_postings``: optional known row count (build_index gets it for
+    free from the stats aggregate over the persisted postings) — sizes
+    the encode shuffle at POSTINGS_PER_ENCODE_TASK rows/partition,
+    capped at 4×cores. Without it the count-free 4×cores default stands.
     """
     cols = postings.select("term", "doc_id", "tf", "doc_len", "maxtf")
+    sc = postings.sparkSession.sparkContext
+    if num_partitions is None and n_postings is not None:
+        num_partitions = min(
+            sc.defaultParallelism * 4,
+            max(1, -(-n_postings // POSTINGS_PER_ENCODE_TASK)))
     if num_partitions is None:
         # explicit count (AQE coalescing would shrink a bare
         # repartition("term") to ~advisory-size partitions — measured 21
         # partitions for a 16-core run, which turns term-hash skew into a
         # straggler tail). 4×cores keeps waves balanced under skew.
-        sc = postings.sparkSession.sparkContext
         num_partitions = sc.defaultParallelism * 4
     part = cols.repartition(num_partitions, "term")
     part = part.sortWithinPartitions("term", "doc_id")
@@ -569,7 +602,8 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame([row])
 
 
-def build_segments(scored: DataFrame, salt_buckets: int = 0) -> DataFrame:
+def build_segments(scored: DataFrame, salt_buckets: int = 0,
+                   n_postings_hint: int | None = None) -> DataFrame:
     """scored postings → one segment row per term.
 
     ``salt_buckets=0``: one explicit term-hash shuffle + Tungsten sort +
@@ -579,13 +613,22 @@ def build_segments(scored: DataFrame, salt_buckets: int = 0) -> DataFrame:
     ``salt_buckets=S>0``: two-stage salted build — every term flows through
     stage 1 with salt = doc_id % S (deterministic, no RNG), bounding any
     single task's group to ~df/S postings.
+
+    ``n_postings_hint``: optional (over-)estimate of the row count — sizes
+    the encode shuffle like :func:`build_segments_fast` (floor = cores so
+    a low estimate never serializes the sort; cap = 4×cores as before).
     """
     from .config import ensure_on_executors
     ensure_on_executors(scored.sparkSession)
     cols = scored.select("term", "doc_id", "tf", "score_q")
     if salt_buckets <= 0:
         sc = scored.sparkSession.sparkContext
-        part = cols.repartition(sc.defaultParallelism * 4, "term") \
+        n_parts = sc.defaultParallelism * 4
+        if n_postings_hint is not None:
+            n_parts = min(n_parts, max(
+                sc.defaultParallelism,
+                -(-n_postings_hint // POSTINGS_PER_ENCODE_TASK)))
+        part = cols.repartition(n_parts, "term") \
                    .sortWithinPartitions("term", "doc_id")
 
         def run(batches):
@@ -665,31 +708,45 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     materialized sub-phases (benchmark instrumentation).
     """
     import time as _time
+    # n_docs via parquet metadata / cheap count — no tokenize; counted
+    # FIRST so it can size the tokenize pass (a single-file local corpus
+    # otherwise runs the Arrow pass on one task). Total tokens come from
+    # the postings themselves → the corpus is tokenized exactly once for
+    # everything except the pair pass (which re-tokenizes rather than
+    # shuffle raw token arrays — CPU is cheaper than corpus-sized state).
+    n_docs = docs.count()
+    sc = docs.sparkSession.sparkContext
+    tok_parts = min(sc.defaultParallelism,
+                    max(1, -(-n_docs // DOCS_PER_TOKENIZE_TASK)))
     postings = build_postings(docs, id_col, text_col, None,
-                              stopwords=stopwords)
+                              stopwords=stopwords,
+                              input_partitions=tok_parts)
     if persist:
         postings = postings.persist()
-    # n_docs via parquet metadata / cheap count — no tokenize; total tokens
-    # from the postings themselves → the corpus is tokenized exactly once
-    # for everything except the pair pass (which re-tokenizes rather than
-    # shuffle raw token arrays — CPU is cheaper than corpus-sized state).
     t0 = _time.time()
-    stats = global_stats_from_postings(postings, docs.count())
+    stats = global_stats_from_postings(postings, n_docs)
     if phase_times is not None:
         phase_times["tokenize_stats"] = round(_time.time() - t0, 3)
     if dbigram_distance is None and salt_buckets <= 0:
         # unigram-only: fused single-shuffle path (df + score in-kernel)
         return build_segments_fast(postings, stats["n_docs"],
-                                   stats["avgdl"]), stats
+                                   stats["avgdl"],
+                                   n_postings=stats["n_postings"]), stats
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
     if dbigram_distance:
         if persist:
             scored = scored.persist()
         pairs = build_pair_postings(docs, scored, id_col, text_col,
                                     dbigram_distance, stopwords=stopwords)
+        # pair rows are bounded by distance × total tokens (each token
+        # opens ≤ d windows, pre-dedup) — a cheap over-estimate that sizes
+        # the encode shuffle without materializing the pair table
+        hint = stats["n_postings"] \
+            + dbigram_distance * stats["total_tokens"]
         return build_segments(pair_segment_input(scored, pairs),
-                              salt_buckets), stats
-    return build_segments(scored, salt_buckets), stats
+                              salt_buckets, n_postings_hint=hint), stats
+    return build_segments(scored, salt_buckets,
+                          n_postings_hint=stats["n_postings"]), stats
 
 
 def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
@@ -714,11 +771,16 @@ def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
     style literal set, not a join against the pair table — the pair
     table, the build's largest intermediate, still joins NOTHING.
     """
+    n_docs = docs.count()
+    sc = docs.sparkSession.sparkContext
+    tok_parts = min(sc.defaultParallelism,
+                    max(1, -(-n_docs // DOCS_PER_TOKENIZE_TASK)))
     postings = build_postings(docs, id_col, text_col, None,
-                              stopwords=stopwords)
+                              stopwords=stopwords,
+                              input_partitions=tok_parts)
     if persist:
         postings = postings.persist()
-    stats = global_stats_from_postings(postings, docs.count())
+    stats = global_stats_from_postings(postings, n_docs)
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
     if not dbigram_distance:
         return build_segments_skew_aware(scored, hot_df_threshold,

@@ -145,7 +145,10 @@ def test_fast_build_identical_to_classic(spark, docs_sf001):
     stats = global_stats(docs_sf001)
     postings = build_postings(docs_sf001).persist()
     stats2 = global_stats_from_postings(postings, docs_sf001.count())
-    assert stats == stats2
+    # the postings-derived stats additionally carry the exact posting
+    # count (round 4: sizes the encode shuffle); the shared keys match
+    assert stats == {k: v for k, v in stats2.items() if k != "n_postings"}
+    assert stats2["n_postings"] == postings.count()
     classic = {r["term"]: r for r in build_segments(
         score_postings(postings, stats["n_docs"], stats["avgdl"])).collect()}
     fast = {r["term"]: r for r in build_segments_fast(
