@@ -81,3 +81,64 @@ def dedup_stats_stream(docs: DataFrame) -> DataFrame:
                 stateStructType="first_doc long, n long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+DEFAULT_STREAM_BUCKET_CAP = 256  # = textops.SCALE_LSH_MAX_BUCKET
+
+
+def lsh_pairs_stream(docs: DataFrame,
+                     max_bucket_size: int = DEFAULT_STREAM_BUCKET_CAP
+                     ) -> DataFrame:
+    """Streaming NEAR-dup: incremental MinHash-band candidate pairs.
+
+    The online form of ``textops.lsh_candidate_pairs_hashed``: each doc's
+    stateless band signatures (``textops.doc_band_keys`` — hashed terms,
+    no dictionary, so the map side streams unchanged) key an
+    ``applyInPandasWithState`` bucket whose state is the member doc_id
+    list. A newly arriving member emits one (doc_a, doc_b) row against
+    every existing member the moment it lands — near-dups are flagged at
+    ingest, across micro-batch boundaries, without rescanning the corpus.
+
+    Semantics vs batch:
+    - emitted pair SET == batch pairs on the same corpus whenever no
+      bucket exceeds the cap (asserted in tests); duplicates across bands
+      are possible (batch applies ``.distinct()``; a streaming consumer
+      dedups downstream or feeds dedup_clusters, which unions anyway).
+    - the cap is ADMISSION-based: once a bucket holds ``max_bucket_size``
+      members, later arrivals join via their other bands only. Batch
+      drops over-cap buckets retroactively — an online operator cannot
+      un-emit, so the streaming posture is the prefix form of the same
+      guard (state stays O(cap) per bucket either way).
+    - within a micro-batch, arrivals are admitted in doc_id order
+      (deterministic given batch boundaries).
+    """
+    from ..textops import doc_band_keys
+    bands = doc_band_keys(docs)
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        members: list[int] = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        arrivals: set[int] = set()
+        for pdf in pdfs:
+            arrivals.update(int(x) for x in pdf["doc_id"])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for d in sorted(arrivals - seen):
+            if len(members) >= max_bucket_size:
+                break
+            for m in members:
+                out_a.append(min(m, d))
+                out_b.append(max(m, d))
+            members.append(d)
+        state.update((members,))
+        yield pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                            "doc_b": pd.Series(out_b, dtype="int64")})
+
+    return (bands.groupBy("band", "band_key")
+            .applyInPandasWithState(
+                update,
+                outputStructType="doc_a long, doc_b long",
+                stateStructType="members array<long>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -195,6 +195,74 @@ SCALE_LSH_MAX_BUCKET = 256
 SCALE_GRAM_DF_CAP = 128
 
 
+def doc_band_keys(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, band, band_key) — the LSH band signature computed from
+    HASHED terms (``pmod(xxhash64(term), P)``) instead of dictionary tids.
+
+    Same band/packing layout as :func:`lsh_bands` (MH_NPERM perms, pairs
+    packed as mh_even·2³¹ + mh_odd) but 100% stateless column math over
+    the token array: no dictionary, no aggregation, no UDF — so it runs
+    UNCHANGED on a Structured Streaming frame (a corpus-global dictionary
+    cannot exist incrementally; hashing the term is the standard online
+    MinHash posture). Batch twin for parity tests + the dictionary-free
+    deployment mode; token-less docs emit no rows (as in lsh_bands).
+    """
+    tids = F.array_distinct(F.transform(
+        tokens_col(F.col(text_col)),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(MH_PRIME))))
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    tids.alias("__tids")).where(F.size("__tids") > 0)
+    def perm_min(a: int, b: int):
+        # factory: F.transform introspects the lambda's arity, so the
+        # (a, b) constants must be CLOSED OVER, not default parameters
+        return F.array_min(F.transform(
+            F.col("__tids"),
+            lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MH_PRIME)))
+
+    mhs = []
+    for p in range(MH_NPERM):
+        mhs.append(perm_min(((2 * p + 1) * MH_MULT) % MH_PRIME,
+                            (p * 40503 + 12345) % MH_PRIME))
+    bands = [F.struct(
+        F.lit(bi).cast("long").alias("band"),
+        (mhs[MH_BAND_ROWS * bi] * F.lit(2147483648)
+         + mhs[MH_BAND_ROWS * bi + 1]).cast("long").alias("band_key"))
+        for bi in range(MH_NPERM // MH_BAND_ROWS)]
+    return (d.select("doc_id", F.explode(F.array(*bands)).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key")))
+
+
+def _pairs_from_bands(b: DataFrame,
+                      max_bucket_size: int | None) -> DataFrame:
+    """Band-bucket self-join → distinct (doc_a < doc_b) candidate pairs,
+    with the optional hot-bucket cap (buckets above the cap dropped)."""
+    if max_bucket_size is not None:
+        ok = (b.groupBy("band", "band_key")
+               .agg(F.count("*").alias("__n"))
+               .where(F.col("__n") <= max_bucket_size)
+               .select("band", "band_key"))
+        b = b.join(ok, ["band", "band_key"])
+    b2 = b.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (b.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+             .join(b2, ["band", "band_key"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+
+
+def lsh_candidate_pairs_hashed(docs: DataFrame,
+                               max_bucket_size: int | None = None,
+                               scale: bool = False) -> DataFrame:
+    """Batch candidate pairs over the HASHED-term band family
+    (:func:`doc_band_keys`) — the dictionary-free twin of
+    :func:`lsh_candidate_pairs`, and the exact batch reference for the
+    streaming path (streaming/dedup.lsh_pairs_stream)."""
+    if scale and max_bucket_size is None:
+        max_bucket_size = SCALE_LSH_MAX_BUCKET
+    return _pairs_from_bands(doc_band_keys(docs), max_bucket_size)
+
+
 def lsh_candidate_pairs(docs: DataFrame,
                         max_bucket_size: int | None = None,
                         scale: bool = False) -> DataFrame:
@@ -215,18 +283,7 @@ def lsh_candidate_pairs(docs: DataFrame,
     given. Oracle parity holds only with the default (exact) mode."""
     if scale and max_bucket_size is None:
         max_bucket_size = SCALE_LSH_MAX_BUCKET
-    b = lsh_bands(docs)
-    if max_bucket_size is not None:
-        ok = (b.groupBy("band", "band_key")
-               .agg(F.count("*").alias("__n"))
-               .where(F.col("__n") <= max_bucket_size)
-               .select("band", "band_key"))
-        b = b.join(ok, ["band", "band_key"])
-    b2 = b.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    return (b.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-             .join(b2, ["band", "band_key"])
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b").distinct())
+    return _pairs_from_bands(lsh_bands(docs), max_bucket_size)
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,81 @@ def test_dedup_stats_running_counts(spark, tmp_path):
     assert len(stats) == 4
 
 
+def _near_dup_corpus():
+    """Documents with overlapping token sets so MinHash bands collide:
+    0/1/2 are near-identical, 5/6 are near-identical, 3/4 are organic."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "merge sort runs in n log n time on the sorted array")
+    other = ("binary heap siblings live at 2i and 2i+1 making push and "
+             "pop logarithmic in the heap size for priority queues")
+    return [
+        [(0, base), (1, base + " extra1"), (3, "totally unrelated words "
+                                               "about databases and trees")],
+        [(2, base + " extra2"), (4, "another organic document with its "
+                                    "own vocabulary entirely")],
+        [(5, other), (6, other + " tail tweak")],
+    ]
+
+
+def _stage_neardup(spark, tmp_path):
+    src = str(tmp_path / "nd_arrivals")
+    for rows in _near_dup_corpus():
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def test_lsh_pairs_stream_batch_parity(spark, tmp_path):
+    """The streaming MinHash-band path must emit exactly the batch
+    candidate-pair set (textops.lsh_candidate_pairs_hashed) on the same
+    corpus — including pairs whose members arrived in DIFFERENT
+    micro-batches (docs 0/1 in batch 0, doc 2 in batch 1)."""
+    from candidategeneration_spark.textops import (
+        doc_band_keys, lsh_candidate_pairs_hashed)
+
+    src = _stage_neardup(spark, tmp_path)
+    batch_docs = spark.read.parquet(src)
+    # precondition: no bucket near the cap, so prefix-admission == batch
+    from pyspark.sql import functions as F
+    max_bucket = (doc_band_keys(batch_docs)
+                  .groupBy("band", "band_key").count()
+                  .agg(F.max("count")).collect()[0][0])
+    assert max_bucket < 256
+    want = {(r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs_hashed(batch_docs).collect()}
+    assert want, "corpus must produce at least one near-dup pair"
+    # cross-batch pair must be present in the expected set
+    assert any(a in (0, 1) and b == 2 for a, b in want)
+
+    stream = ingest.read_docs_stream(spark, src, max_files=1)
+    q = (dedup.lsh_pairs_stream(stream)
+         .writeStream.format("memory").queryName("lsh_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           spark.sql("SELECT doc_a, doc_b FROM lsh_stream").collect()}
+    assert got == want
+
+
+def test_lsh_pairs_stream_bucket_cap_is_admission(spark, tmp_path):
+    """Once a bucket reaches the cap, later arrivals are not admitted
+    (and emit no pairs through that bucket): three identical docs with
+    cap=2 pair only the first two."""
+    src = str(tmp_path / "cap_arrivals")
+    text = "identical boilerplate license header words everywhere"
+    for i in range(3):
+        spark.createDataFrame([(i, text)], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = ingest.read_docs_stream(spark, src, max_files=1)
+    q = (dedup.lsh_pairs_stream(stream, max_bucket_size=2)
+         .writeStream.format("memory").queryName("lsh_cap")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           spark.sql("SELECT doc_a, doc_b FROM lsh_cap").collect()}
+    assert got == {(0, 1)}
+
+
 def test_gopher_rules_stream_batch_parity(spark, tmp_path):
     """Stateless quality ops apply to a stream unchanged (pure column
     projections): gopher_rules over a file stream must equal the batch
