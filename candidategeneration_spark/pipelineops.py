@@ -221,7 +221,11 @@ def sample_split(docs: DataFrame, stratum_col: str = "lang",
         for pdf in batches:
             if not len(pdf):
                 continue
-            for s, c in pdf["stratum"].value_counts().items():
+            # dropna=False: a NULL stratum is a group (SQL window / DuckDB
+            # row_number PARTITION BY semantics) — the default would drop
+            # its counts and the tag pass would KeyError on tot[None]
+            for s, c in pdf["stratum"].value_counts(dropna=False).items():
+                s = None if pd.isna(s) else s  # NaN key -> the NULL group
                 agg[s] = agg.get(s, 0) + int(c)
         yield pd.DataFrame([(pid, s, n) for s, n in agg.items()],
                            columns=["pid", "stratum", "n"])

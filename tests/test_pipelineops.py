@@ -187,6 +187,20 @@ def test_decontaminate_long_phrases_verify_path(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_sample_split_null_stratum_is_a_group(spark):
+    """SQL window semantics: a NULL stratum is its own group (DuckDB's
+    PARTITION BY treats NULLs as one partition) — the two-stage rank must
+    not drop or crash on it."""
+    rows = [(i, None if i % 4 == 0 else "en") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = P.sample_split(docs, num_partitions=8).toPandas()
+    assert len(out) == 80
+    null_grp = out[out["stratum"].isna()]
+    assert len(null_grp) == 20
+    counts = null_grp["split"].value_counts().to_dict()
+    assert counts == {"train": 16, "val": 2, "test": 2}
+
+
 def test_sample_split_no_stratum_window(spark):
     """Round 4 skew fix: a 95%-one-stratum corpus must not funnel through
     a stratum-partitioned Window (one task holding the giant stratum).
