@@ -644,7 +644,9 @@ def build_segments(scored: DataFrame, salt_buckets: int = 0,
 
 
 def build_segments_skew_aware(scored: DataFrame, hot_df_threshold: int,
-                              salt_buckets: int = 16) -> DataFrame:
+                              salt_buckets: int = 16,
+                              n_postings_hint: int | None = None
+                              ) -> DataFrame:
     """Skew-split segment build: ONLY terms with df > threshold take the
     two-stage salted route; the long tail takes the one-shuffle streaming
     path. This is the practical 100 TB shape — salting everything doubles
@@ -658,7 +660,8 @@ def build_segments_skew_aware(scored: DataFrame, hot_df_threshold: int,
     """
     hot = scored.where(F.col("df") > hot_df_threshold)
     cold = scored.where(F.col("df") <= hot_df_threshold)
-    out = build_segments(cold, salt_buckets=0)
+    out = build_segments(cold, salt_buckets=0,
+                         n_postings_hint=n_postings_hint)
     if not hot.isEmpty():
         out = out.unionByName(build_segments(hot, salt_buckets=salt_buckets))
     return out
@@ -783,8 +786,9 @@ def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
     stats = global_stats_from_postings(postings, n_docs)
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
     if not dbigram_distance:
-        return build_segments_skew_aware(scored, hot_df_threshold,
-                                         salt_buckets), stats
+        return build_segments_skew_aware(
+            scored, hot_df_threshold, salt_buckets,
+            n_postings_hint=stats["n_postings"]), stats
     if persist:
         scored = scored.persist()
     pairs = build_pair_postings(docs, scored, id_col, text_col,
@@ -805,5 +809,7 @@ def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
         F.when(pair_hot, F.lit(hot_df_threshold + 1))
          .otherwise(F.lit(0)).cast("long").alias("df"))
     seg_in = uni_rows.unionByName(pair_rows)
+    hint = stats["n_postings"] + dbigram_distance * stats["total_tokens"]
     return build_segments_skew_aware(seg_in, hot_df_threshold,
-                                     salt_buckets), stats
+                                     salt_buckets,
+                                     n_postings_hint=hint), stats
