@@ -51,6 +51,12 @@ PAIR_SEP = "\x1f"  # string analogue of the reference's a<<32|b long packing
 # partition count is capped at 4×cores as before):
 DOCS_PER_TOKENIZE_TASK = 512       # ~30 ms of Arrow tokenize+tf per task
 POSTINGS_PER_ENCODE_TASK = 16_384  # ~35 ms of vectorized encode per task
+# build_segments sizes from an UPPER BOUND (distance × total tokens,
+# ~1.5-2× the deduped pair count) and pair rows are ~2× heavier than
+# unigram rows, so its divisor is 4× the exact-count target; measured
+# sweep at sf0.1 (830k pair rows): 87 parts 2.75 s → 44 ≈1.8 s →
+# 32 1.41 s → 16 1.31 s, with 4×cores still the skew-safety cap.
+HINTED_POSTINGS_PER_ENCODE_TASK = 65_536
 
 POSTINGS_SCHEMA = StructType([
     StructField("term", StringType()),
@@ -627,7 +633,7 @@ def build_segments(scored: DataFrame, salt_buckets: int = 0,
         if n_postings_hint is not None:
             n_parts = min(n_parts, max(
                 sc.defaultParallelism,
-                -(-n_postings_hint // POSTINGS_PER_ENCODE_TASK)))
+                -(-n_postings_hint // HINTED_POSTINGS_PER_ENCODE_TASK)))
         part = cols.repartition(n_parts, "term") \
                    .sortWithinPartitions("term", "doc_id")
 
