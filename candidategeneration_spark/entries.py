@@ -482,6 +482,11 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(load_docs(spark, sf_dir))
 
 
+def q_lm_doc_scores(spark, sf_dir):
+    from .pipelineops import lm_doc_scores
+    return lm_doc_scores(load_docs(spark, sf_dir))
+
+
 def q_ann_pq_codes(spark, sf_dir):
     from .annops import pq_codes
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

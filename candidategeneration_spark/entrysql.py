@@ -1166,6 +1166,28 @@ def sql_pack_sequences(cap: int, n_buckets: int) -> str:
         " CAST(\"off\" AS BIGINT) AS \"off\" FROM p")
 
 
+def sql_lm_doc_scores(log_scale: int) -> str:
+    """CCNet-style unigram-LM NLL/token — lockstep with
+    pipelineops.lm_doc_scores: lp_q = floor(scale*ln(cf/total)) (DuckDB's
+    ln is glibc log, the same function CPython math.log wraps — the BM25
+    determinism posture), then exact integer sums and floor division."""
+    return (
+        f"WITH {_TOK_CTE.strip()}, "
+        "cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term), "
+        "tot AS (SELECT sum(cf) AS total FROM cf), "
+        f"lm AS (SELECT term, CAST(floor({log_scale} *"
+        " ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT)"
+        " AS lp_q FROM cf, tot), "
+        "per AS (SELECT doc_id, sum(tf.tf * (-lp_q)) AS snll,"
+        " sum(tf.tf) AS n_tokens FROM tf JOIN lm USING (term)"
+        " GROUP BY doc_id) "
+        "SELECT t.doc_id,"
+        " CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,"
+        " CAST(CASE WHEN COALESCE(n_tokens, 0) > 0"
+        " THEN snll // n_tokens ELSE 0 END AS BIGINT) AS nll_q"
+        " FROM tok t LEFT JOIN per USING (doc_id)")
+
+
 def sql_repetition_stats() -> str:
     return (
         f"WITH {_TOK_CTE.strip()}, "

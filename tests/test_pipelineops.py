@@ -237,6 +237,26 @@ def test_pack_sequences_single_shuffle(spark):
 
 
 # ---------------------------------------------------------------------------
+# lm_doc_scores
+# ---------------------------------------------------------------------------
+
+def test_lm_doc_scores_hand_case(spark):
+    """4-token corpus: cf(aa)=3, cf(bb)=1, total=4. Doc 0 = 'aa aa aa'
+    (typical language, low NLL), doc 1 = 'bb' (rare, high NLL), doc 2
+    empty. Quantization replayed with the same math.log."""
+    import math
+    docs = _docs(spark, [(0, "aa aa aa"), (1, "bb"), (2, "")])
+    rows = {r["doc_id"]: r for r in P.lm_doc_scores(docs).collect()}
+    lp_aa = math.floor(P.LM_LOG_SCALE * math.log(3 / 4))
+    lp_bb = math.floor(P.LM_LOG_SCALE * math.log(1 / 4))
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["nll_q"] == (3 * -lp_aa) // 3
+    assert rows[1]["nll_q"] == -lp_bb
+    assert rows[0]["nll_q"] < rows[1]["nll_q"]  # rare text scores worse
+    assert (rows[2]["n_tokens"], rows[2]["nll_q"]) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
 # duplicate_spans
 # ---------------------------------------------------------------------------
 
