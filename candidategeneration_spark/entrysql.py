@@ -64,7 +64,7 @@ _TOK_CTE = f"""
 tok AS (
   SELECT doc_id,
          list_filter(
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9.]', ' ', 'g')), '\\s+'),
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9.]', ' ', 'g'))), '\\s+'),
            t -> len(t) >= {MIN_TOKEN_LEN}) AS toks
   FROM documents
 ),
@@ -373,7 +373,7 @@ def sql_token_counts() -> str:
     return (
         "SELECT doc_id,"
         " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,"
-        " CAST(len(regexp_extract_all(lower(text),"
+        " CAST(len(regexp_extract_all(lower(regexp_replace(text, '[^\\x20-\\x7e]', ' ', 'g')),"
         " '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re"
         " FROM documents")
 
@@ -746,8 +746,8 @@ def sql_query_trace_clean() -> str:
         f"rawq(qid, qtext) AS (SELECT * FROM (VALUES {vals}) v(qid, qtext)), "
         "qtok AS ("
         "  SELECT qid, list_filter("
-        "    string_split_regex(trim(regexp_replace(lower(qtext),"
-        f"      '[^a-z0-9.]', ' ', 'g')), '\\s+'),"
+        "    string_split_regex(trim(lower(regexp_replace(qtext,"
+        f"      '[^a-zA-Z0-9.]', ' ', 'g'))), '\\s+'),"
         f"    t -> len(t) >= {MIN_TOKEN_LEN}) AS toks"
         "  FROM rawq), "
         "qpos AS ("

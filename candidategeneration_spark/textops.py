@@ -428,12 +428,18 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_ws, n_re): whitespace token count + BPE-ish regex token
-    count (runs of letters | runs of digits | single other non-space)."""
+    count (runs of letters | runs of digits | single other non-space).
+
+    Non-ASCII is normalized to space BEFORE the case mapping (round 4):
+    engines disagree on unicode lower() (glibc/ICU vs JVM, e.g. U+0130),
+    so the classed count is defined over the ASCII projection — identical
+    on every engine, unchanged on ASCII text."""
+    ascii_only = F.regexp_replace("text", r"[^\x20-\x7e]", " ")
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws"),
         F.size(F.regexp_extract_all(
-            F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+            F.lower(ascii_only), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
          .cast("long").alias("n_re"))
 
 

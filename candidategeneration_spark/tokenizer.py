@@ -33,7 +33,17 @@ from pyspark.sql import functions as F
 
 # Contract constants — the DuckDB oracle SQL in __spark_entry__.py encodes
 # the exact same pipeline; change one, change both.
-TOKEN_KEEP_RE = r"[^a-z0-9.]"
+#
+# ORDER MATTERS (round 4): non-keep characters are stripped BEFORE the
+# case mapping. Lowercasing first is not portable off ASCII: glibc/ICU
+# lower('İ' U+0130) = 'i' + combining dot (DuckDB sees 'istanbul') while
+# Java/CPython produce the combining form that the strip then splits
+# ('i' + 'stanbul') — a silent engine-vs-oracle divergence on any corpus
+# containing Turkish dotted capitals. Stripping first removes every
+# non-ASCII char before lower() can manufacture new ASCII letters, and is
+# a no-op change on pure-ASCII text (ASCII upper/lower commutes with the
+# keep-class test).
+TOKEN_KEEP_RE = r"[^a-zA-Z0-9.]"
 MIN_TOKEN_LEN = 2
 DBIGRAM_DISTANCE = 5
 
@@ -61,7 +71,7 @@ def tokens_col(text: Column, stopwords=None) -> Column:
     ``stopwords``: optional iterable — matching tokens are dropped after
     the length filter (reference semantics: stopword removal happens at
     tokenize time, before tf counting)."""
-    cleaned = F.regexp_replace(F.lower(text), TOKEN_KEEP_RE, " ")
+    cleaned = F.lower(F.regexp_replace(text, TOKEN_KEEP_RE, " "))
     arr = F.split(F.trim(cleaned), r"\s+")
     kept = F.filter(arr, lambda t: F.length(t) >= MIN_TOKEN_LEN)
     if stopwords:
@@ -84,7 +94,7 @@ def _splitter():
 
 def tokenize_text(text: str, stopwords=None) -> list[str]:
     """Single-string tokenizer (test oracle / driver-side use)."""
-    parts = _splitter().sub(" ", text.lower()).split()
+    parts = _splitter().sub(" ", text).lower().split()
     kept = [t for t in parts if len(t) >= MIN_TOKEN_LEN]
     if stopwords:
         sw = set(stopwords)
@@ -97,11 +107,22 @@ def tokenize_text(text: str, stopwords=None) -> list[str]:
 # one vectorized pass with no per-row Python (measured 2.1x faster; the
 # tokenize stage is ~40% of build wall time).
 _TOKEN_FINDALL_RE = rf"[a-z0-9.]{{{MIN_TOKEN_LEN},}}"
+_TOKEN_FINDALL_CASED_RE = rf"[a-zA-Z0-9.]{{{MIN_TOKEN_LEN},}}"
 
 
 def tokenize_pandas(texts: pd.Series, stopwords=None) -> pd.Series:
-    """Vectorized tokenizer: Series[str] -> Series[list[str]]."""
-    toks = texts.str.lower().str.findall(_TOKEN_FINDALL_RE)
+    """Vectorized tokenizer: Series[str] -> Series[list[str]].
+
+    ASCII fast path: on pure-ASCII batches (the overwhelmingly common
+    case for source code) lower-then-findall equals strip-then-lower and
+    is one pass cheaper (~35%); any non-ASCII row routes the whole batch
+    through the contract-exact strip-first form (strip via the CASED run
+    class, then lower each kept ASCII run)."""
+    if all(isinstance(t, str) and t.isascii() for t in texts):
+        toks = texts.str.lower().str.findall(_TOKEN_FINDALL_RE)
+    else:
+        toks = texts.str.findall(_TOKEN_FINDALL_CASED_RE) \
+                    .map(lambda ts: [t.lower() for t in ts])
     if stopwords:
         sw = set(stopwords)
         toks = toks.map(lambda ts: [t for t in ts if t not in sw])

@@ -312,7 +312,7 @@ def test_duplicate_spans_matches_python_oracle(spark):
     k = 3
 
     def tokenize(text):
-        t = re.sub(r"[^a-z0-9.]", " ", text.lower()).strip()
+        t = re.sub(r"[^a-zA-Z0-9.]", " ", text).lower().strip()
         return [x for x in re.split(r"\s+", t) if len(x) >= 2] if t else []
 
     toks = {d: tokenize(t) for d, t in rows}
