@@ -154,10 +154,17 @@ def build_index_resumable(docs: DataFrame, root: str,
     srow = stats_df.collect()[0]
     stats = {"n_docs": srow["n_docs"], "total_tokens": srow["total_tokens"],
              "avgdl": srow["avgdl"]}
+    # round-4 stage sizing applies here too: the tokenize pass scales to
+    # ceil(n_docs/512) tasks (n_docs is free from the stats phase; inert
+    # on multi-split inputs — build_postings only repartitions UP)
+    from .build import DOCS_PER_TOKENIZE_TASK
+    tok_parts = min(spark.sparkContext.defaultParallelism,
+                    max(1, -(-stats["n_docs"] // DOCS_PER_TOKENIZE_TASK)))
     postings, _ = cp.phase(
         "postings",
         lambda: build_postings(docs, id_col=id_col, text_col=text_col,
-                               stopwords=stopwords),
+                               stopwords=stopwords,
+                               input_partitions=tok_parts),
         params={"id_col": id_col, "stopwords": sw_key})
     scored, _ = cp.phase(
         "scored",
@@ -177,9 +184,12 @@ def build_index_resumable(docs: DataFrame, root: str,
         seg_in = pair_segment_input(scored, pairs)
     else:
         seg_in = scored
+    hint = stats["total_tokens"] * (dbigram_distance or 0) \
+        + stats["total_tokens"]  # unigram postings <= total tokens
     segments, _ = cp.phase(
         "segments",
-        lambda: build_segments(seg_in, salt_buckets=salt_buckets)
+        lambda: build_segments(seg_in, salt_buckets=salt_buckets,
+                               n_postings_hint=hint)
         .withColumn("bucket", bucket_of(F.col("term"), n_store_buckets)),
         inputs=["scored", "pairs"] if dbigram_distance else ["scored"],
         params={"salt_buckets": salt_buckets,
