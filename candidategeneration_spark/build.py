@@ -51,6 +51,15 @@ PAIR_SEP = "\x1f"  # string analogue of the reference's a<<32|b long packing
 # partition count is capped at 4×cores as before):
 DOCS_PER_TOKENIZE_TASK = 512       # ~30 ms of Arrow tokenize+tf per task
 POSTINGS_PER_ENCODE_TASK = 16_384  # ~35 ms of vectorized encode per task
+# Pair-pass kernel parallelism (round 5): the per-doc-map join that feeds
+# _pair_rows_scored is a SMALL shuffle at bench scale, so AQE coalesces
+# its output to ONE partition — the entire pair kernel (the single most
+# expensive CPU stage of the build, ~6 µs/token) then runs on one task.
+# An explicit repartition sized by token volume (known from the stats
+# aggregate, ~50 ms of kernel per task) restores the parallelism; the
+# 4×cores cap keeps it inert at real scale where the join output is
+# already wide.
+TOKENS_PER_PAIR_TASK = 8_192
 # build_segments sizes from an UPPER BOUND (distance × total tokens,
 # ~1.5-2× the deduped pair count) and pair rows are ~2× heavier than
 # unigram rows, so its divisor is 4× the exact-count target; measured
@@ -88,6 +97,11 @@ _RUN_SCHEMA = StructType([
     StructField("tfs", ArrayType(LongType())),
 ])
 
+TOKENS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("toks", ArrayType(StringType())),
+])
+
 
 # --------------------------------------------------------------------------
 # Phase 1 — tokenize + per-doc tf (+ optional d-bigram) in one Arrow pass
@@ -97,8 +111,15 @@ def _explode_tf(pdf: pd.DataFrame, id_col: str, text_col: str,
                 dbigram_distance: int | None,
                 stopwords=None) -> pd.DataFrame:
     toks = tokenize_pandas(pdf[text_col], stopwords)
+    return _explode_tf_from_toks(pdf[id_col], toks, dbigram_distance)
+
+
+def _explode_tf_from_toks(ids, toks: pd.Series,
+                          dbigram_distance: int | None) -> pd.DataFrame:
+    """Pre-tokenized twin of :func:`_explode_tf` — the kernel both the
+    text path and the tokenize-once path (:func:`tokenize_docs`) share."""
     lens = toks.map(len).to_numpy(dtype=np.int64)
-    doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
+    doc_ids = np.asarray(ids, dtype=np.int64)
     if lens.sum() == 0:
         return pd.DataFrame(
             {"term": pd.Series([], dtype=object),
@@ -106,8 +127,10 @@ def _explode_tf(pdf: pd.DataFrame, id_col: str, text_col: str,
              "tf": pd.Series([], dtype=np.int64),
              "doc_len": pd.Series([], dtype=np.int64),
              "maxtf": pd.Series([], dtype=np.int64)})
+    # len() guard (not truthiness): Arrow hands token arrays back as
+    # numpy arrays, whose bool() is ambiguous
     flat_terms = np.concatenate(
-        [np.asarray(t, dtype=object) for t in toks if t] or
+        [np.asarray(t, dtype=object) for t in toks if len(t)] or
         [np.empty(0, dtype=object)])
     flat_docs = np.repeat(doc_ids, lens)
     edf = pd.DataFrame({"doc_id": flat_docs, "term": flat_terms})
@@ -221,6 +244,60 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def tokenize_docs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", stopwords=None,
+                  input_partitions: int | None = None) -> DataFrame:
+    """corpus → (doc_id, toks array<string>): the tokenize-ONCE table.
+
+    Round 5: the d-bigram build used to tokenize the corpus twice (once
+    for unigram postings, once inside the pair pass — the docstring of
+    :func:`build_pair_postings` called CPU cheaper than corpus-sized
+    state). Persisting this table instead feeds BOTH stages from one
+    Arrow tokenize pass: the pair stage's kernel drops its regex+lower
+    work and the raw corpus text is scanned exactly once per build. At
+    100 TB the persisted form is the same order as the corpus itself —
+    use ``StorageLevel.DISK_ONLY`` / checkpoints.py when it exceeds
+    cluster RAM (same guidance as the postings persist).
+
+    Empty documents keep a row with an empty array (token-less docs
+    still count in n_docs, ``InvertedIndex.java:171``).
+    """
+    from .config import ensure_on_executors
+    ensure_on_executors(docs.sparkSession)
+    cols = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(text_col).alias("__text"))
+    if input_partitions is not None and input_partitions > 1 \
+            and cols.rdd.getNumPartitions() < input_partitions:
+        cols = cols.repartition(input_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(np.int64),
+                 "toks": tokenize_pandas(pdf["__text"], stopwords)})
+
+    return cols.mapInPandas(gen, schema=TOKENS_SCHEMA)
+
+
+def build_postings_from_tokens(tokens_df: DataFrame,
+                               dbigram_distance: int | None = None,
+                               term_filter: DataFrame | None = None
+                               ) -> DataFrame:
+    """:func:`build_postings` over a pre-tokenized (doc_id, toks) table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _explode_tf_from_toks(pdf["doc_id"], pdf["toks"],
+                                        dbigram_distance)
+
+    out = tokens_df.select("doc_id", "toks") \
+                   .mapInPandas(gen, schema=POSTINGS_SCHEMA)
+    if term_filter is not None:
+        out = out.join(F.broadcast(term_filter.select("term").distinct()),
+                       "term", "left_semi")
+    return out
+
+
 # --------------------------------------------------------------------------
 # Phase 2 — global stats + per-term df + quantized BM25
 # --------------------------------------------------------------------------
@@ -285,8 +362,13 @@ PAIR_SCORED_SCHEMA = StructType([
 
 def _pair_rows_scored(pdf: pd.DataFrame, distance: int,
                       stopwords=None) -> pd.DataFrame:
-    """One Arrow batch of (doc_id, __text, __terms sorted, __scores aligned)
-    → scored pair postings, all doc-local (no join touches the pair table).
+    """One Arrow batch of (doc_id, __text | __toks, __terms sorted,
+    __scores aligned) → scored pair postings, all doc-local (no join
+    touches the pair table).
+
+    ``__toks`` (pre-tokenized, from :func:`tokenize_docs`) is preferred
+    when present — the tokenize-once path; ``__text`` re-tokenizes here
+    (the standalone :func:`build_pair_postings` shape).
 
     ``__terms`` is sorted ascending (Spark ``sort_array``; pure-ASCII tokens
     so JVM and NumPy string orders agree) — each pair side's unigram score
@@ -294,7 +376,8 @@ def _pair_rows_scored(pdf: pd.DataFrame, distance: int,
     of the pair (the oracle's t1), s2 to the larger; the stored pair score
     is s1+s2 (``InvertedIndex.java:302-307``).
     """
-    toks = tokenize_pandas(pdf["__text"], stopwords)
+    toks = pdf["__toks"] if "__toks" in pdf.columns \
+        else tokenize_pandas(pdf["__text"], stopwords)
     o_term, o_did, o_s1, o_s2 = [], [], [], []
     for did, ts, terms, scores in zip(
             pdf["doc_id"].to_numpy(np.int64), toks,
@@ -364,7 +447,8 @@ def _pair_rows_scored(pdf: pd.DataFrame, distance: int,
 def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         dbigram_distance: int = DBIGRAM_DISTANCE,
-                        stopwords=None) -> DataFrame:
+                        stopwords=None,
+                        num_partitions: int | None = None) -> DataFrame:
     """Scored d-bigram postings with DOC-LOCAL pair scoring.
 
     Round-1 scored pairs by joining the pair table TWICE against the scored
@@ -377,6 +461,10 @@ def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
         docs ⋈ per-doc map on doc_id                                [1× corpus]
         mapInPandas: re-tokenize + window pairs + searchsorted score
 
+    (:func:`build_pair_postings_from_tokens` is the tokenize-once twin —
+    build_index feeds it the persisted token table so this re-tokenize
+    disappears from the end-to-end build.)
+
     The giant pair table is *born scored* and never joins anything. The two
     shuffles that remain move the unigram-sized map and the corpus — at
     10^12 files that's ~8× less shuffle I/O than shuffling pair postings
@@ -386,18 +474,54 @@ def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
     """
     from .config import ensure_on_executors
     ensure_on_executors(docs.sparkSession)
-    per_doc = (scored_uni.groupBy("doc_id")
-               .agg(F.sort_array(F.collect_list(
-                   F.struct("term", "score_q"))).alias("__u"))
-               .select("doc_id", F.col("__u.term").alias("__terms"),
-                       F.col("__u.score_q").alias("__scores")))
     joined = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                          F.col(text_col).alias("__text")) \
-                 .join(per_doc, "doc_id")
+                 .join(_per_doc_score_map(scored_uni), "doc_id")
+
+    if num_partitions is not None:
+        joined = joined.repartition(num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _pair_rows_scored(pdf, dbigram_distance, stopwords)
+
+    return joined.mapInPandas(gen, schema=PAIR_SCORED_SCHEMA)
+
+
+def _per_doc_score_map(scored_uni: DataFrame) -> DataFrame:
+    """(doc_id, __terms sorted, __scores aligned) — the Spark shape of the
+    reference's in-memory per-doc score map (``InvertedIndex.java:302-307``)."""
+    return (scored_uni.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("term", "score_q"))).alias("__u"))
+            .select("doc_id", F.col("__u.term").alias("__terms"),
+                    F.col("__u.score_q").alias("__scores")))
+
+
+def build_pair_postings_from_tokens(tokens_df: DataFrame,
+                                    scored_uni: DataFrame,
+                                    dbigram_distance: int = DBIGRAM_DISTANCE,
+                                    num_partitions: int | None = None
+                                    ) -> DataFrame:
+    """:func:`build_pair_postings` fed by the tokenize-once table
+    (:func:`tokenize_docs`) — the pair kernel skips its re-tokenize and
+    reads ``__toks`` straight off the Arrow batch. Same output, same
+    doc-local scoring; the joined shuffle moves token arrays instead of
+    raw text (comparable bytes — tokens are the text minus punctuation).
+
+    ``num_partitions``: explicit kernel parallelism (see
+    TOKENS_PER_PAIR_TASK) — without it AQE coalesces the small join
+    output to one task at bench scale and the kernel serializes."""
+    from .config import ensure_on_executors
+    ensure_on_executors(tokens_df.sparkSession)
+    joined = tokens_df.select("doc_id", F.col("toks").alias("__toks")) \
+                      .join(_per_doc_score_map(scored_uni), "doc_id")
+    if num_partitions is not None:
+        joined = joined.repartition(num_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pair_rows_scored(pdf, dbigram_distance)
 
     return joined.mapInPandas(gen, schema=PAIR_SCORED_SCHEMA)
 
@@ -707,10 +831,10 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     table, the largest intermediate of the build, never joins anything.
 
     ``persist=True`` materializes the unigram postings (referenced by the
-    stats aggregate + scoring join) and, on d-bigram builds, the scored
-    unigrams (referenced by the per-doc score map + the segment union) —
-    without it Catalyst re-runs the tokenizer per reference: extra corpus
-    scans at 100 TB. On a real cluster use ``StorageLevel.DISK_ONLY`` via
+    stats aggregate + scoring join) and, on d-bigram builds, the token
+    table (unigram explode + pair pass) and the scored unigrams (per-doc
+    score map + segment union) — without it Catalyst re-runs the
+    tokenizer per reference: extra corpus scans at 100 TB. On a real cluster use ``StorageLevel.DISK_ONLY`` via
     checkpoints.py instead when postings exceed cluster RAM.
 
     ``phase_times``: optional dict filled with wall seconds of the
@@ -720,16 +844,26 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     # n_docs via parquet metadata / cheap count — no tokenize; counted
     # FIRST so it can size the tokenize pass (a single-file local corpus
     # otherwise runs the Arrow pass on one task). Total tokens come from
-    # the postings themselves → the corpus is tokenized exactly once for
-    # everything except the pair pass (which re-tokenizes rather than
-    # shuffle raw token arrays — CPU is cheaper than corpus-sized state).
+    # the postings themselves, and on d-bigram builds the pair pass reads
+    # the persisted tokenize-once table → the corpus is tokenized exactly
+    # once, period (round 5; the pair pass used to re-tokenize).
     n_docs = docs.count()
     sc = docs.sparkSession.sparkContext
     tok_parts = min(sc.defaultParallelism,
                     max(1, -(-n_docs // DOCS_PER_TOKENIZE_TASK)))
-    postings = build_postings(docs, id_col, text_col, None,
-                              stopwords=stopwords,
-                              input_partitions=tok_parts)
+    tokd = None
+    if dbigram_distance:
+        # two consumers (unigram explode + pair pass): persist the token
+        # table so tokenize runs once
+        tokd = tokenize_docs(docs, id_col, text_col, stopwords=stopwords,
+                             input_partitions=tok_parts)
+        if persist:
+            tokd = tokd.persist()
+        postings = build_postings_from_tokens(tokd)
+    else:
+        postings = build_postings(docs, id_col, text_col, None,
+                                  stopwords=stopwords,
+                                  input_partitions=tok_parts)
     if persist:
         postings = postings.persist()
     t0 = _time.time()
@@ -745,8 +879,11 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     if dbigram_distance:
         if persist:
             scored = scored.persist()
-        pairs = build_pair_postings(docs, scored, id_col, text_col,
-                                    dbigram_distance, stopwords=stopwords)
+        pair_parts = min(sc.defaultParallelism * 4, max(
+            1, -(-stats["total_tokens"] // TOKENS_PER_PAIR_TASK)))
+        pairs = build_pair_postings_from_tokens(tokd, scored,
+                                                dbigram_distance,
+                                                num_partitions=pair_parts)
         # pair rows are bounded by distance × total tokens (each token
         # opens ≤ d windows, pre-dedup) — a cheap over-estimate that sizes
         # the encode shuffle without materializing the pair table
@@ -775,18 +912,28 @@ def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
     are hot unigrams can possibly be hot. Those route to the salted path
     (conservatively — a routed-but-cold pair is still exact, just takes
     the two-stage encode); everything else is provably cold. The hot-term
-    set is tiny by definition (df > threshold bounds its size by
-    total_postings/threshold), so the routing predicate is a broadcast-
-    style literal set, not a join against the pair table — the pair
-    table, the build's largest intermediate, still joins NOTHING.
+    set is small by definition (df > threshold bounds its size by
+    total_postings/threshold), and routing is two BROADCAST left joins
+    on the pair components (round 5 — it was a collected ``isin`` literal
+    list, which at 100 TB with a low threshold becomes a giant In
+    predicate compiled into every task). Map-side only: the pair table,
+    the build's largest intermediate, still never SHUFFLES for a join.
     """
     n_docs = docs.count()
     sc = docs.sparkSession.sparkContext
     tok_parts = min(sc.defaultParallelism,
                     max(1, -(-n_docs // DOCS_PER_TOKENIZE_TASK)))
-    postings = build_postings(docs, id_col, text_col, None,
-                              stopwords=stopwords,
-                              input_partitions=tok_parts)
+    tokd = None
+    if dbigram_distance:
+        tokd = tokenize_docs(docs, id_col, text_col, stopwords=stopwords,
+                             input_partitions=tok_parts)
+        if persist:
+            tokd = tokd.persist()
+        postings = build_postings_from_tokens(tokd)
+    else:
+        postings = build_postings(docs, id_col, text_col, None,
+                                  stopwords=stopwords,
+                                  input_partitions=tok_parts)
     if persist:
         postings = postings.persist()
     stats = global_stats_from_postings(postings, n_docs)
@@ -797,20 +944,31 @@ def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
             n_postings_hint=stats["n_postings"]), stats
     if persist:
         scored = scored.persist()
-    pairs = build_pair_postings(docs, scored, id_col, text_col,
-                                dbigram_distance, stopwords=stopwords)
-    hot_terms = [r["term"] for r in
-                 scored.where(F.col("df") > hot_df_threshold)
-                       .select("term").distinct().collect()]
+    pair_parts = min(sc.defaultParallelism * 4, max(
+        1, -(-stats["total_tokens"] // TOKENS_PER_PAIR_TASK)))
+    pairs = build_pair_postings_from_tokens(tokd, scored, dbigram_distance,
+                                            num_partitions=pair_parts)
+    hot_df = scored.where(F.col("df") > hot_df_threshold) \
+                   .select("term").distinct()
     uni_rows = scored.select("term", "doc_id", "tf", "score_q", "df")
     s2z = F.expr("(s2 << 1) ^ (s2 >> 63)").cast("long").alias("tf")
     split = F.split(F.col("term"), PAIR_SEP)
-    pair_hot = (split.getItem(0).isin(hot_terms)
-                & split.getItem(1).isin(hot_terms)) if hot_terms \
-        else F.lit(False)
     # df column on pair rows only routes hot/cold (never stored): the df
-    # bound min(df1,df2) is represented as threshold±1 sentinels
-    pair_rows = pairs.select(
+    # bound min(df1,df2) is represented as threshold±1 sentinels. Routing
+    # = two broadcast LEFT joins of the hot-term set against the pair
+    # components — BroadcastHashJoin, never an In-literal, never a pair
+    # shuffle (plan-asserted in test_plans).
+    withc = pairs.withColumn("__t1", split.getItem(0)) \
+                 .withColumn("__t2", split.getItem(1))
+    h1 = hot_df.select(F.col("term").alias("__t1"),
+                       F.lit(True).alias("__h1"))
+    h2 = hot_df.select(F.col("term").alias("__t2"),
+                       F.lit(True).alias("__h2"))
+    routed = withc.join(F.broadcast(h1), "__t1", "left") \
+                  .join(F.broadcast(h2), "__t2", "left")
+    pair_hot = (F.coalesce(F.col("__h1"), F.lit(False))
+                & F.coalesce(F.col("__h2"), F.lit(False)))
+    pair_rows = routed.select(
         "term", "doc_id", s2z, "score_q",
         F.when(pair_hot, F.lit(hot_df_threshold + 1))
          .otherwise(F.lit(0)).cast("long").alias("df"))

@@ -171,11 +171,19 @@ def build_index_resumable(docs: DataFrame, root: str,
         lambda: score_postings(postings, stats["n_docs"], stats["avgdl"]),
         inputs=["postings", "stats"])
     if dbigram_distance:
+        # round-5 sizing: the pair-kernel input is a SMALL join at bench
+        # scale and AQE coalesces it to one task — size it by token
+        # volume like build_index does (cap 4×cores, inert at scale)
+        from .build import TOKENS_PER_PAIR_TASK
+        pair_parts = min(
+            spark.sparkContext.defaultParallelism * 4,
+            max(1, -(-stats["total_tokens"] // TOKENS_PER_PAIR_TASK)))
         pairs, _ = cp.phase(
             "pairs",
             lambda: build_pair_postings(docs, scored, id_col, text_col,
                                         dbigram_distance,
-                                        stopwords=stopwords),
+                                        stopwords=stopwords,
+                                        num_partitions=pair_parts),
             inputs=["scored"],
             params={"dbigram_distance": dbigram_distance,
                     "stopwords": sw_key})
