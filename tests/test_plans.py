@@ -202,3 +202,23 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_hot_pair_routing_broadcast_not_in_literal(spark, docs_sf001):
+    """Skew-aware hot/cold pair routing (build_index_skew_aware): the
+    hot-term set must reach the pair table as a BROADCAST left join, not
+    a collected In-literal (which at 100 TB with a low threshold compiles
+    a giant predicate into every task). Forced-low threshold so hot terms
+    and hot-candidate pairs actually exist; the pair table itself must
+    never shuffle for the routing join."""
+    from candidategeneration_spark.build import build_index_skew_aware
+    seg, stats = build_index_skew_aware(docs_sf001, hot_df_threshold=5,
+                                        dbigram_distance=2)
+    plan = plans.explain_str(seg, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # no In-literal of collected hot terms anywhere in the routing plan:
+    # a term list would render as 'In(term, [' or a giant 'IN (' predicate
+    assert " IN (" not in plan and "In(term" not in plan, plan
+    # and the routed build still answers: smoke one collect
+    assert seg.limit(1).count() == 1
