@@ -41,9 +41,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_entry_contract.py), so rotation never removes all
     # external verification — it only defers the driver's own row.
     return {
-        # round-5 window heads: the two round-4 ADVICE items
+        # round-5 window heads: the two round-4 ADVICE items + the new
+        # round-5 gate (S5 WARC ingestion end-to-end)
         "lm_doc_scores": entries.q_lm_doc_scores,
         "token_counts": entries.q_token_counts,
+        "warc_build_topk": entries.q_warc_topk,
         # one driver-green row each (r04) — kept in-window for a 2nd row
         "lm_probabilities": entries.q_lm_probabilities,
         "hits_rank": entries.q_hits_rank,
@@ -76,7 +78,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (training-data ops)
         "minhash_signatures": entries.q_minhash_signatures,
         "lsh_candidate_pairs": entries.q_lsh_candidate_pairs,
-        "simhash": entries.q_simhash,
         "ngram_jaccard": entries.q_ngram_jaccard,
         # text analysis
         "quality_score": entries.q_quality_score,
@@ -115,8 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   lang_id, fingerprint, mm_extract  — green r01+r02+r03
         #   mm_features, frame_sample         — green r02+r03 (r01 ran
         #                                       without a hash column)
-        #   ann_brute_topk, dedup_exact       — green r01+r02+r03+r04
-        # All seven remain covered by the pytest DuckDB mirror each run.
+        #   ann_brute_topk, dedup_exact,
+        #   simhash                           — green r01+r02+r03+r04
+        # All eight remain covered by the pytest DuckDB mirror each run.
         "lang_id": entries.q_lang_id,
         "fingerprint": entries.q_fingerprint,
         "mm_extract": entries.q_mm_extract,
@@ -124,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": entries.q_mm_features,
         "ann_brute_topk": entries.q_ann_brute_topk,
         "dedup_exact": entries.q_dedup_exact,
+        "simhash": entries.q_simhash,
     }
 
 
@@ -135,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_dbigram": entrysql.sql_postings_dbigram(),
         "pair_streams": entrysql.sql_pair_streams(),
         "bm25_topk": entrysql.sql_bm25_topk(),
+        "warc_build_topk": entrysql.sql_warc_topk(),
         "segment_stats": entrysql.sql_segment_stats(),
         "bm25_topk_pairs": entrysql.sql_bm25_topk_pairs(),
         "pair_budget_index": entrysql.sql_pair_budget_index(

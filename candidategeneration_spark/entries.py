@@ -142,6 +142,50 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "doc_id", "score_q")
 
 
+def q_warc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end under the driver oracle (the reference's full ClueWeb
+    path: ``ReadWarcSample.java`` → ``WarcRecord`` framing →
+    ``HtmlpageCleaner`` → index → query): a deterministic slice of the
+    documents table (doc_id % WARC_DOC_MOD == 0) is HTML-escaped, wrapped
+    in pages with script/style/comment bait, framed into two .warc.gz
+    shards, re-ingested with read_warc → html_to_text, indexed, and
+    queried with Block-Max WAND. The escape makes the wrap token-exact
+    (see entrysql.WARC_DOC_MOD note), so the oracle is plain BM25 SQL
+    over the same slice — and any bait leaking through the tag/entity
+    stripping shows up as a hash mismatch."""
+    import html as _html
+    import tempfile
+
+    from .entrysql import WARC_DOC_MOD
+    from .sources.warc import read_warc, write_warc_gz
+    sub = load_docs(spark, sf_dir) \
+        .where(F.col("doc_id") % WARC_DOC_MOD == 0) \
+        .select("doc_id", "text")
+    rows = sorted(sub.collect(), key=lambda r: r["doc_id"])
+    pages = [
+        (f"clueweb09-en0000-00-{int(r['doc_id']):08d}",
+         f"http://x.test/{int(r['doc_id'])}",
+         "<html><head><title>p</title>"
+         "<script>var bait = 'sort merge hash';</script>"
+         "<style>.c { color: red }</style></head>"
+         f"<body><!-- bait bait --><p>{_html.escape(r['text'] or '')}"
+         "</p></body></html>")
+        for r in rows]
+    root = tempfile.mkdtemp(prefix="warc_gate_")
+    half = max(1, len(pages) // 2)
+    write_warc_gz(pages[:half], f"{root}/part-0.warc.gz")
+    if pages[half:]:
+        write_warc_gz(pages[half:], f"{root}/part-1.warc.gz")
+    docs = read_warc(spark, root).select(
+        F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "text")
+    segments, _ = build_index(docs, dbigram_distance=None)
+    res = wand_topk(segments, _query_df(spark), k=TOPK, use_wand=True)
+    return res.select("qid", F.col("rank").cast("long").alias("rank"),
+                      "doc_id", "score_q")
+
+
 def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments, _ = build_index(load_docs(spark, sf_dir),
                               dbigram_distance=DBIGRAM_DISTANCE)

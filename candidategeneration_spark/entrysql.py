@@ -60,6 +60,37 @@ MISSING_GROUND_TRUTH_QIDS: list[int] = [5]
 # ---------------------------------------------------------------------------
 
 # Tokenize: identical to tokenizer.tokens_col / tokenize_text.
+# _tok_cte(where) parameterizes the corpus subset (the WARC gate indexes a
+# deterministic doc_id slice); _TOK_CTE is the full-corpus default.
+
+
+def _tok_cte(where: str = "") -> str:
+    return f"""
+tok AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9.]', ' ', 'g'))), '\\s+'),
+           t -> len(t) >= {MIN_TOKEN_LEN}) AS toks
+  FROM documents {where}
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         COALESCE(sum(len(toks)), 0) AS total_tokens,
+         COALESCE(sum(len(toks)), 0) // count(*) AS avgdl
+  FROM tok
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+docmeta AS (
+  SELECT doc_id, max(tf) AS maxtf, sum(tf) AS doc_len FROM tf GROUP BY doc_id
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
 _TOK_CTE = f"""
 tok AS (
   SELECT doc_id,
@@ -205,9 +236,10 @@ def sql_pair_budget_index(budget: int) -> str:
         f"FROM c WHERE cum <= {budget}")
 
 
-def sql_bm25_topk(k: int = TOPK) -> str:
+def sql_bm25_topk(k: int = TOPK, docs_where: str = "") -> str:
     return (
-        f"WITH {_TOK_CTE.strip()}, {_SCORED_CTE.strip()}, {_query_values()}, "
+        f"WITH {_tok_cte(docs_where).strip()}, {_SCORED_CTE.strip()}, "
+        f"{_query_values()}, "
         "qscore AS ("
         "  SELECT q.qid, s.doc_id, CAST(sum(s.score_q) AS BIGINT) AS score_q"
         "  FROM queries q JOIN scored s ON s.term = q.term"
@@ -217,6 +249,18 @@ def sql_bm25_topk(k: int = TOPK) -> str:
         "    PARTITION BY qid ORDER BY score_q DESC, doc_id) - 1 AS BIGINT)"
         "    AS rank, doc_id, score_q FROM qscore) "
         f"WHERE rank < {k}")
+
+
+# The WARC gate (entries.q_warc_topk) indexes the doc_id % WARC_DOC_MOD = 0
+# slice of the corpus after an HTML wrap → WARC framing → read_warc →
+# html_to_text round trip. The wrap escapes the text, so TOKENS round-trip
+# exactly (the tokenizer splits on the same characters whitespace collapse
+# touches) — the oracle is therefore plain BM25 SQL over the same slice.
+WARC_DOC_MOD = 8
+
+
+def sql_warc_topk(k: int = TOPK) -> str:
+    return sql_bm25_topk(k, docs_where=f"WHERE doc_id % {WARC_DOC_MOD} = 0")
 
 
 def sql_segment_stats() -> str:

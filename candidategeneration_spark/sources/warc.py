@@ -90,6 +90,35 @@ def html_to_text(col):
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def write_warc_gz(pages, path: str, warc_version: str = "WARC/0.18") -> None:
+    """Frame (trec_id, uri, html) pages into one .warc.gz shard.
+
+    The inverse of :func:`iter_warc_records` for fixture/export use: each
+    page becomes a ``response`` record (HTTP header block + HTML body,
+    ``WarcHTMLResponseRecord`` layout) followed by a ``request`` noise
+    record that readers must drop; the shard opens with a ``warcinfo``
+    record. Byte format matches what ``ReadWarcSample.java`` consumes."""
+
+    def rec(rtype: str, extra, body: bytes) -> bytes:
+        hdr = (f"{warc_version}\r\nWARC-Type: {rtype}\r\n"
+               + "".join(f"{k}: {v}\r\n" for k, v in extra)
+               + f"Content-Length: {len(body)}\r\n\r\n").encode()
+        return hdr + body + b"\r\n\r\n"
+
+    out = rec("warcinfo", [("WARC-Record-ID", "<urn:uuid:warcinfo>")],
+              b"format: WARC file")
+    for trec_id, uri, html in pages:
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html.encode())
+        out += rec("response",
+                   [("WARC-TREC-ID", trec_id), ("WARC-Target-URI", uri)],
+                   body)
+        out += rec("request", [("WARC-Record-ID", f"<urn:uuid:{trec_id}>")],
+                   b"GET / HTTP/1.1")
+    with gzip.open(path, "wb") as f:
+        f.write(out)
+
+
 def read_warc(spark: SparkSession, path: str,
               record_type: str = "response") -> DataFrame:
     """(doc_id, uri, text): parse .warc / .warc.gz files under ``path``,
