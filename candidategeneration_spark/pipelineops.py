@@ -101,9 +101,21 @@ def decontaminate(docs: DataFrame, phrases: DataFrame,
     phrase-length diversity or phrase count.
     """
     k = DECON_PREFIX_K
-    p = phrases.select(F.col("qid").cast("long").alias("qid"),
-                       F.col("phrase"),
-                       F.size(F.split(F.col("phrase"), " ")).alias("plen"))
+    # ONE phrase snapshot (round 5): the old shape ran two driver actions
+    # (short-length distinct + longp.take) against the live phrases plan —
+    # a nondeterministic phrase source (e.g. ids minted by
+    # monotonically_increasing_id) could show those probes a different
+    # partitioning than the later joins. The phrase table is broadcast-
+    # small by design (eval suites), so collect it once and derive every
+    # side from the frozen rows.
+    spark = docs.sparkSession
+    prows = phrases.select(F.col("qid").cast("long").alias("qid"),
+                           F.col("phrase"),
+                           F.size(F.split(F.col("phrase"), " "))
+                            .alias("plen")).collect()
+    p = spark.createDataFrame(
+        [(r["qid"], r["phrase"], r["plen"]) for r in prows],
+        "qid long, phrase string, plen int") if prows else None
     toks = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                        tokens_col(F.col(text_col)).alias("toks"))
 
@@ -117,18 +129,18 @@ def decontaminate(docs: DataFrame, phrases: DataFrame,
                 " ELSE CAST(array() AS array<string>) END"
             )).alias("gram"))
 
-    short = p.where(F.col("plen") < k)
-    longp = p.where(F.col("plen") >= k)
     parts = []
-    # distinct short lengths actually present (bounded by k-1 passes)
-    short_lens = [r["plen"] for r in
-                  short.select("plen").distinct().collect()]
-    for ln in sorted(short_lens):
-        cand = F.broadcast(short.where(F.col("plen") == ln)
+    # distinct short lengths actually present (bounded by k-1 passes) —
+    # read off the frozen snapshot, no extra Spark action
+    short_lens = sorted({r["plen"] for r in prows if r["plen"] < k})
+    has_long = any(r["plen"] >= k for r in prows)
+    for ln in short_lens:
+        cand = F.broadcast(p.where(F.col("plen") == ln)
                            .select("qid", F.col("phrase").alias("gram")))
         parts.append(windows(toks, ln).join(cand, "gram")
                      .select("qid", "doc_id"))
-    if longp.take(1):
+    if has_long:
+        longp = p.where(F.col("plen") >= k)
         pref = F.broadcast(longp.select(
             "qid", "phrase",
             F.array_join(F.slice(F.split(F.col("phrase"), " "), 1, k), " ")
@@ -209,10 +221,15 @@ def sample_split(docs: DataFrame, stratum_col: str = "lang",
         ((F.col("doc_id") * F.lit(MH_MULT)) % F.lit(MH_PRIME))
         .cast("long").alias("h"))
     order = [F.col("stratum").asc(), F.col("h").asc(), F.col("doc_id").asc()]
-    # persist: the boundary job and the tag job must see the SAME sampled
-    # range boundaries
+    # eager localCheckpoint (round 5, was .persist()): the boundary job
+    # and the tag job must see the SAME sampled range boundaries, but a
+    # bare persist leaks a corpus-sized cache entry per call — the cache
+    # manager never releases it. A local checkpoint pins the snapshot the
+    # same way while its blocks stay owned by the RDD lineage, so the
+    # ContextCleaner reclaims them when the returned DataFrame is
+    # garbage-collected.
     part = d.repartitionByRange(num_partitions, *order) \
-            .sortWithinPartitions(*order).persist()
+            .sortWithinPartitions(*order).localCheckpoint(eager=True)
 
     def counts(batches):
         from pyspark import TaskContext

@@ -286,6 +286,12 @@ def greedy_select_prefixes(scored: DataFrame, matrix: pd.DataFrame,
     (density per posting) first, until the posting budget is exhausted
     (NewGreedySelection.java:26-89 semantics, posting- not byte-budget).
 
+    TEST-ONLY PARITY TWIN: this collects per-term list lengths to the
+    driver (O(vocabulary) memory — fine for an item-level oracle, wrong
+    at 100 TB). Every gate and production path uses the fully distributed
+    :func:`cell_greedy_prefixes` instead; the only caller of this
+    function is tests/test_quality.py, which asserts the two agree.
+
     Returns {term: prefix_len}."""
     lists = scored.groupBy("term").agg(F.count("*").alias("n")).collect()
     dens = {(int(r["lb"]), int(r["rb"])): float(r["density"])

@@ -15,10 +15,17 @@ dictionary with the LM side broadcast — the 10^12-term dictionary never
 moves. Probabilities are also emitted quantized (floor(p·scale)) so tests
 can assert exact integers.
 
-Documented divergence: our engine's pair keys are order-normalized
-(lo PAIR_SEP hi by term order; the packed id sorts tids the same way),
-whereas the reference packs ids in file order — its bigram LM files list
-each unordered pair once, so normalizing is a superset-compatible choice.
+Documented divergences (both in the bigram path):
+- pair keys are order-normalized (lo PAIR_SEP hi by term order; the packed
+  id sorts tids the same way), whereas the reference packs ids in file
+  order — its bigram LM files list each unordered pair once, so
+  normalizing is a superset-compatible choice.
+- equal-term bigram lines (t1 == t2) are DROPPED. The reference keeps them
+  (``getPair(id, id)``), but this engine's d-bigram index can never hold a
+  same-term pair (the window generator filters a == b,
+  ``build._pair_rows_scored``), so a kept entry could never join anything
+  downstream; dropping at read time keeps the LM table exactly the keyable
+  set.
 """
 
 from __future__ import annotations
@@ -57,7 +64,11 @@ def read_language_model(spark: SparkSession, path: str,
             F.greatest(F.col("f").getItem(0), F.col("f").getItem(1))
              .alias("t2"),
             F.col("f").getItem(3).try_cast("double").alias("p")) \
-            .where(F.col("p").isNotNull() & (F.col("t1") != F.col("t2")))
+            .where(F.col("p").isNotNull()
+                   # documented divergence (module docstring): the
+                   # reference keeps t1==t2 lines; we drop them because no
+                   # d-bigram key can ever match one
+                   & (F.col("t1") != F.col("t2")))
         a = d.select(F.col("term").alias("t1"), F.col("tid").alias("tid1"))
         b = d.select(F.col("term").alias("t2"), F.col("tid").alias("tid2"))
         # each join broadcasts the (tiny, shrinking) LM side into the
