@@ -87,8 +87,10 @@ DEFAULT_STREAM_BUCKET_CAP = 256  # = textops.SCALE_LSH_MAX_BUCKET
 
 
 def lsh_pairs_stream(docs: DataFrame,
-                     max_bucket_size: int = DEFAULT_STREAM_BUCKET_CAP
-                     ) -> DataFrame:
+                     max_bucket_size: int = DEFAULT_STREAM_BUCKET_CAP,
+                     ttl_ms: int | None = None,
+                     time_col: str = "event_time",
+                     watermark_delay: str = "0 seconds") -> DataFrame:
     """Streaming NEAR-dup: incremental MinHash-band candidate pairs.
 
     The online form of ``textops.lsh_candidate_pairs_hashed``: each doc's
@@ -111,17 +113,44 @@ def lsh_pairs_stream(docs: DataFrame,
       guard (state stays O(cap) per bucket either way).
     - within a micro-batch, arrivals are admitted in doc_id order
       (deterministic given batch boundaries).
+
+    State TTL (round 5): the admission cap bounds each bucket, but bucket
+    COUNT still grows with the corpus on an unbounded stream. With
+    ``ttl_ms`` set, ``docs`` must carry an event-time column
+    (``time_col``); a watermark (``watermark_delay``) is applied and each
+    bucket's state expires once the watermark passes ``ttl_ms`` after the
+    bucket's latest arrival (sliding TTL — an active boilerplate clique
+    stays; a dormant one is reclaimed). Expiry is the standard streaming
+    near-dup trade: a duplicate arriving more than the TTL after its
+    bucket's last activity is no longer flagged through that bucket.
+    Total state is then O(buckets active within one TTL window), not
+    O(corpus) — the dedup-exactness analogue of
+    ``dropDuplicatesWithinWatermark``.
     """
     from ..textops import doc_band_keys
-    bands = doc_band_keys(docs)
+    if ttl_ms is not None:
+        docs = docs.withWatermark(time_col, watermark_delay)
+        bands = doc_band_keys(docs, carry_cols=(time_col,))
+    else:
+        bands = doc_band_keys(docs)
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
         members: list[int] = list(state.get[0]) if state.exists else []
         seen = set(members)
         arrivals: set[int] = set()
+        last_ms = 0
         for pdf in pdfs:
             arrivals.update(int(x) for x in pdf["doc_id"])
+            if ttl_ms is not None and len(pdf):
+                last_ms = max(last_ms,
+                              int(pdf[time_col].max().value // 1_000_000))
         out_a: list[int] = []
         out_b: list[int] = []
         for d in sorted(arrivals - seen):
@@ -132,6 +161,8 @@ def lsh_pairs_stream(docs: DataFrame,
                 out_b.append(max(m, d))
             members.append(d)
         state.update((members,))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(last_ms + ttl_ms)
         yield pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
                             "doc_b": pd.Series(out_b, dtype="int64")})
 
@@ -141,4 +172,6 @@ def lsh_pairs_stream(docs: DataFrame,
                 outputStructType="doc_a long, doc_b long",
                 stateStructType="members array<long>",
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                             if ttl_ms is not None
+                             else GroupStateTimeout.NoTimeout)))

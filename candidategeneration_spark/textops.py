@@ -196,7 +196,8 @@ SCALE_GRAM_DF_CAP = 128
 
 
 def doc_band_keys(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  carry_cols: tuple = ()) -> DataFrame:
     """(doc_id, band, band_key) — the LSH band signature computed from
     HASHED terms (``pmod(xxhash64(term), P)``) instead of dictionary tids.
 
@@ -211,8 +212,11 @@ def doc_band_keys(docs: DataFrame, id_col: str = "doc_id",
     tids = F.array_distinct(F.transform(
         tokens_col(F.col(text_col)),
         lambda t: F.pmod(F.xxhash64(t), F.lit(MH_PRIME))))
+    # carry_cols: pass-through columns (e.g. the event-time column the
+    # streaming TTL path expires state on) — kept out of the band math
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    tids.alias("__tids")).where(F.size("__tids") > 0)
+                    tids.alias("__tids"), *[F.col(c) for c in carry_cols]) \
+            .where(F.size("__tids") > 0)
     def perm_min(a: int, b: int):
         # factory: F.transform introspects the lambda's arity, so the
         # (a, b) constants must be CLOSED OVER, not default parameters
@@ -229,9 +233,11 @@ def doc_band_keys(docs: DataFrame, id_col: str = "doc_id",
         (mhs[MH_BAND_ROWS * bi] * F.lit(2147483648)
          + mhs[MH_BAND_ROWS * bi + 1]).cast("long").alias("band_key"))
         for bi in range(MH_NPERM // MH_BAND_ROWS)]
-    return (d.select("doc_id", F.explode(F.array(*bands)).alias("bk"))
+    return (d.select("doc_id", F.explode(F.array(*bands)).alias("bk"),
+                     *[F.col(c) for c in carry_cols])
             .select("doc_id", F.col("bk.band").alias("band"),
-                    F.col("bk.band_key").alias("band_key")))
+                    F.col("bk.band_key").alias("band_key"),
+                    *[F.col(c) for c in carry_cols]))
 
 
 def _pairs_from_bands(b: DataFrame,

@@ -154,3 +154,55 @@ def test_gopher_rules_stream_batch_parity(spark, tmp_path):
     streamed = {r["doc_id"]: tuple(r)
                 for r in spark.sql("SELECT * FROM gopher_stream").collect()}
     assert streamed == batch and len(batch) == 8
+
+
+def test_lsh_pairs_stream_state_ttl_expires_dormant_buckets(spark, tmp_path):
+    """Round-5 TTL: with ttl_ms set, a bucket with no arrivals for longer
+    than the TTL (by event time / watermark) is reclaimed — a duplicate
+    arriving after expiry emits NO pair against the forgotten members,
+    while the re-created bucket keeps working for later dups. Total state
+    stays bounded by the buckets active within one TTL window."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    text_a = "identical boilerplate license header words everywhere"
+    batches = [
+        [(0, text_a, at(0))],                       # seeds bucket A
+        [(50, "first unrelated filler words here completely", at(60))],
+        [(51, "second unrelated filler words there entirely", at(120))],
+        # bucket A expired during the batch above (wm=60s > 0s+5s TTL):
+        # doc2 re-creates it empty -> no (0,2); doc3 pairs with doc2
+        [(2, text_a, at(180)), (3, text_a, at(180))],
+    ]
+    schema = "doc_id long, text string, event_time timestamp"
+
+    def run(src_name, ttl_ms):
+        src = str(tmp_path / src_name)
+        for rows in batches:
+            spark.createDataFrame(rows, schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+        stream = ingest.read_docs_stream(spark, src, schema=schema,
+                                         max_files=1)
+        q = (dedup.lsh_pairs_stream(stream, ttl_ms=ttl_ms)
+             .writeStream.format("memory").queryName(f"q_{src_name}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        pairs = {(r["doc_a"], r["doc_b"]) for r in
+                 spark.sql(f"SELECT * FROM q_{src_name}").collect()}
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        return pairs, state_rows
+
+    with_ttl, rows_ttl = run("ttl_on", ttl_ms=5_000)
+    no_ttl, rows_no = run("ttl_off", ttl_ms=None)
+    # contrast run: without TTL the forgotten pairs ARE emitted
+    assert {(0, 2), (0, 3), (2, 3)} <= no_ttl
+    # expired bucket stops emitting against forgotten members...
+    assert not any(0 in p for p in with_ttl), with_ttl
+    # ...but keeps working for arrivals inside the window
+    assert (2, 3) in with_ttl
+    # and dormant-bucket state was actually reclaimed
+    assert rows_ttl < rows_no, (rows_ttl, rows_no)
