@@ -328,18 +328,25 @@ def score_postings(postings: DataFrame, n_docs: int, avgdl: int) -> DataFrame:
     against scored unigrams) was the build's biggest scale-killer and is
     deleted — pair terms must be scored doc-locally by
     :func:`build_pair_postings` (the pair table is born scored and never
-    joins anything). Passing pair rows raises rather than silently taking
-    a two-shuffle path no caller should want.
+    joins anything). Passing pair rows raises (at the first action that
+    evaluates the scored rows) rather than silently taking a two-shuffle
+    path no caller should want. The guard is fused into the df aggregate
+    as an executor-side ``raise_error`` — round 5: the old eager
+    ``pairs.isEmpty()`` probe cost a FULL extra scan job per call exactly
+    on the happy path (no match → every partition visited), one per build
+    and one per streaming-ingest micro-batch.
     """
-    pairs = postings.where(F.col("term").contains(PAIR_SEP))
-    if not pairs.isEmpty():
-        raise ValueError(
-            "score_postings scores unigrams only; score pair terms "
-            "doc-locally with build_pair_postings (the legacy pair-join "
-            "path was removed — it shuffled the pair table twice)")
     # idf via glibc-log pandas UDF on the tiny per-term table (bm25.idf_col
     # determinism note); the per-posting arithmetic below stays in codegen.
+    guard_msg = (
+        "score_postings scores unigrams only; score pair terms "
+        "doc-locally with build_pair_postings (the legacy pair-join "
+        "path was removed — it shuffled the pair table twice)")
     term_df = postings.groupBy("term").agg(F.count("*").alias("df")) \
+                      .withColumn("df", F.when(
+                          F.col("term").contains(PAIR_SEP),
+                          F.raise_error(F.lit(guard_msg)).cast("long"))
+                          .otherwise(F.col("df"))) \
                       .withColumn("__idf", idf_col(F.col("df"), n_docs))
     return (
         postings.join(term_df, "term")

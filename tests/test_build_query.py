@@ -225,3 +225,34 @@ def test_skew_aware_build_identical(spark, docs_sf001):
         assert bytes(a["did_blob"]) == bytes(b["did_blob"]), t
         assert bytes(a["score_blob"]) == bytes(b["score_blob"]), t
         assert list(a["block_max"]) == list(b["block_max"]), t
+
+
+def test_score_postings_pair_guard_fires_executor_side(spark, docs_sf001):
+    """The unigrams-only guard is fused into the df aggregate (round 5 —
+    no extra probe job): feeding pair rows must still raise, now at the
+    first action that evaluates the scored rows."""
+    from candidategeneration_spark.build import (
+        build_postings, global_stats, score_postings)
+    stats = global_stats(docs_sf001)
+    with_pairs = build_postings(docs_sf001, dbigram_distance=5)
+    bad = score_postings(with_pairs, stats["n_docs"], stats["avgdl"])
+    with pytest.raises(Exception, match="unigrams only"):
+        bad.collect()
+
+
+def test_score_postings_runs_one_job(spark, docs_sf001):
+    """Happy path: score_postings itself schedules ZERO jobs (the old
+    eager isEmpty probe scanned every partition when no pair rows
+    existed — one wasted job per build / per streaming micro-batch)."""
+    from candidategeneration_spark.build import (
+        build_postings, global_stats, score_postings)
+    stats = global_stats(docs_sf001)
+    postings = build_postings(docs_sf001)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    # building the plan must not launch anything
+    scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert scored.columns  # plan analyzes cleanly
