@@ -64,3 +64,39 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     assert [f.name for f in df.schema.fields] == \
         ["qid", "rank", "doc_id", "score_q"]
+
+
+def test_rotation_tail_policy():
+    """Self-enforcing gate-rotation policy (round-4 ADVICE): the round
+    driver oracle-checks only the FIRST 50 queries() entries, so any
+    entry past position 50 must already be driver-verified green
+    (rows + schema, no err) in at least THREE recorded rounds. This
+    keeps a new or changed gate from ever being parked out of the
+    driver's sight."""
+    import glob
+    import inspect
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = inspect.getsource(entrymod.queries)
+    keys = re.findall(r'"([a-z0-9_]+)":\s', src)
+    assert keys, "could not parse queries() ordering"
+    assert len(keys) == len(set(keys)), "duplicate queries() keys"
+    assert list(entrymod.queries().keys()) == keys
+    tail = keys[50:]
+    if not tail:
+        return  # everything in-window; nothing to police
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            rounds.append(json.load(fh))
+    for gate in tail:
+        greens = sum(
+            1 for r in rounds
+            if (e := r.get(gate)) is not None
+            and e.get("rows_match") and e.get("schema_match")
+            and not e.get("err"))
+        assert greens >= 3, (
+            f"tail gate {gate!r} has only {greens} green driver rounds; "
+            "gates need >=3 before rotating past the 50-entry window")
