@@ -486,8 +486,14 @@ def sql_frame_sample(every: int = 10) -> str:
 # ANN oracles (annops.py twins)
 # ---------------------------------------------------------------------------
 
+# x is FLOAT (float32): multiply in DOUBLE before rounding, matching
+# Spark's implicit promotion. DuckDB's FLOAT*1000 stays float32, which can
+# round a value like 0.3195f up through an inexact 319.5 while the exact
+# double product is 319.4999…: one sf0.1 vector (vec_id 1879, dim 17)
+# quantizes 320 vs 319 without the cast and near-dup pair sets diverge.
 _QVEC_CTE = ("qv AS (SELECT vec_id, list_transform(embedding,"
-             " x -> CAST(round(x*1000) AS BIGINT)) AS v FROM embeddings)")
+             " x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v"
+             " FROM embeddings)")
 
 
 def sql_ann_brute_topk(n_probes: int = 10, k: int = 10) -> str:
