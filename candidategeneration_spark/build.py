@@ -481,18 +481,41 @@ def build_pair_postings(docs: DataFrame, scored_uni: DataFrame,
     """
     from .config import ensure_on_executors
     ensure_on_executors(docs.sparkSession)
-    joined = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                         F.col(text_col).alias("__text")) \
-                 .join(_per_doc_score_map(scored_uni), "doc_id")
-
-    if num_partitions is not None:
-        joined = joined.repartition(num_partitions)
+    joined = _pair_join(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col).alias("__text")),
+        scored_uni, num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _pair_rows_scored(pdf, dbigram_distance, stopwords)
 
     return joined.mapInPandas(gen, schema=PAIR_SCORED_SCHEMA)
+
+
+def _pair_join(docside: DataFrame, scored_uni: DataFrame,
+               num_partitions: int | None) -> DataFrame:
+    """docside ⋈ per-doc score map on doc_id, with the pair-kernel
+    parallelism carried by the join's OWN exchanges.
+
+    With ``num_partitions`` set, both join inputs are hash-repartitioned
+    by (doc_id, num_partitions): the join reuses that partitioning (no
+    post-join exchange) and AQE never coalesces an explicit-count user
+    repartition, so the kernel runs at exactly ``num_partitions`` tasks.
+    An earlier round-5 form repartitioned AFTER the join — a third,
+    corpus-sized round-robin shuffle on every d-bigram build; sizing the
+    join-input exchanges instead costs nothing extra at any scale (the
+    doc-side shuffle and the score-map aggregation exchange must happen
+    anyway — they just happen at the kernel's width)."""
+    if num_partitions is None:
+        return docside.join(_per_doc_score_map(scored_uni), "doc_id")
+    # repartition BEFORE the groupBy: the aggregation's clustering
+    # requirement is satisfied by the explicit hash partitioning, so the
+    # map side pays exactly one exchange, already at the kernel's width
+    score_map = _per_doc_score_map(
+        scored_uni.repartition(num_partitions, "doc_id"))
+    return docside.repartition(num_partitions, "doc_id") \
+                  .join(score_map, "doc_id")
 
 
 def _per_doc_score_map(scored_uni: DataFrame) -> DataFrame:
@@ -521,10 +544,9 @@ def build_pair_postings_from_tokens(tokens_df: DataFrame,
     output to one task at bench scale and the kernel serializes."""
     from .config import ensure_on_executors
     ensure_on_executors(tokens_df.sparkSession)
-    joined = tokens_df.select("doc_id", F.col("toks").alias("__toks")) \
-                      .join(_per_doc_score_map(scored_uni), "doc_id")
-    if num_partitions is not None:
-        joined = joined.repartition(num_partitions)
+    joined = _pair_join(
+        tokens_df.select("doc_id", F.col("toks").alias("__toks")),
+        scored_uni, num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -823,6 +845,23 @@ def pair_segment_input(scored_uni: DataFrame, pairs: DataFrame) -> DataFrame:
         .unionByName(pairs.select("term", "doc_id", s2z, "score_q"))
 
 
+def release_build_caches(stats: dict) -> None:
+    """Unpersist the intermediates a build pinned (``stats["cached"]``).
+
+    Call AFTER materializing the returned segments (store write / count):
+    the segments plan references the cached tables, so releasing earlier
+    just forfeits the cache and recomputes. Long-lived sessions that
+    build repeatedly (the driver gate loop, streaming compaction) would
+    otherwise accumulate one corpus-order token table per build in the
+    cache manager — the same leak class the round-4 ``sample_split`` fix
+    removed."""
+    for df in stats.pop("cached", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def build_index(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 dbigram_distance: int | None = DBIGRAM_DISTANCE,
@@ -846,6 +885,12 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
 
     ``phase_times``: optional dict filled with wall seconds of the
     materialized sub-phases (benchmark instrumentation).
+
+    The persisted intermediates are returned in ``stats["cached"]``;
+    after materializing the segments (writing the store / counting),
+    call :func:`release_build_caches` to unpersist them — a long-lived
+    session that builds repeatedly would otherwise pin one corpus-order
+    token table per build in the cache manager.
     """
     import time as _time
     # n_docs via parquet metadata / cheap count — no tokenize; counted
@@ -858,6 +903,7 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     sc = docs.sparkSession.sparkContext
     tok_parts = min(sc.defaultParallelism,
                     max(1, -(-n_docs // DOCS_PER_TOKENIZE_TASK)))
+    cached: list = []
     tokd = None
     if dbigram_distance:
         # two consumers (unigram explode + pair pass): persist the token
@@ -866,6 +912,7 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
                              input_partitions=tok_parts)
         if persist:
             tokd = tokd.persist()
+            cached.append(tokd)
         postings = build_postings_from_tokens(tokd)
     else:
         postings = build_postings(docs, id_col, text_col, None,
@@ -873,8 +920,10 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
                                   input_partitions=tok_parts)
     if persist:
         postings = postings.persist()
+        cached.append(postings)
     t0 = _time.time()
     stats = global_stats_from_postings(postings, n_docs)
+    stats["cached"] = cached
     if phase_times is not None:
         phase_times["tokenize_stats"] = round(_time.time() - t0, 3)
     if dbigram_distance is None and salt_buckets <= 0:
@@ -886,6 +935,7 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     if dbigram_distance:
         if persist:
             scored = scored.persist()
+            cached.append(scored)
         pair_parts = min(sc.defaultParallelism * 4, max(
             1, -(-stats["total_tokens"] // TOKENS_PER_PAIR_TASK)))
         pairs = build_pair_postings_from_tokens(tokd, scored,
@@ -930,12 +980,14 @@ def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
     sc = docs.sparkSession.sparkContext
     tok_parts = min(sc.defaultParallelism,
                     max(1, -(-n_docs // DOCS_PER_TOKENIZE_TASK)))
+    cached: list = []
     tokd = None
     if dbigram_distance:
         tokd = tokenize_docs(docs, id_col, text_col, stopwords=stopwords,
                              input_partitions=tok_parts)
         if persist:
             tokd = tokd.persist()
+            cached.append(tokd)
         postings = build_postings_from_tokens(tokd)
     else:
         postings = build_postings(docs, id_col, text_col, None,
@@ -943,7 +995,9 @@ def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
                                   input_partitions=tok_parts)
     if persist:
         postings = postings.persist()
+        cached.append(postings)
     stats = global_stats_from_postings(postings, n_docs)
+    stats["cached"] = cached
     scored = score_postings(postings, stats["n_docs"], stats["avgdl"])
     if not dbigram_distance:
         return build_segments_skew_aware(
@@ -951,6 +1005,7 @@ def build_index_skew_aware(docs: DataFrame, hot_df_threshold: int,
             n_postings_hint=stats["n_postings"]), stats
     if persist:
         scored = scored.persist()
+        cached.append(scored)
     pair_parts = min(sc.defaultParallelism * 4, max(
         1, -(-stats["total_tokens"] // TOKENS_PER_PAIR_TASK)))
     pairs = build_pair_postings_from_tokens(tokd, scored, dbigram_distance,

@@ -50,7 +50,8 @@ def cmd_zip(args) -> int:
 
 
 def cmd_build(args) -> int:
-    from .build import build_index, build_index_skew_aware
+    from .build import (build_index, build_index_skew_aware,
+                        release_build_caches)
     from .sources.segmentstore import save_segments
     spark = _spark(args)
     docs = spark.read.parquet(args.corpus)
@@ -77,6 +78,10 @@ def cmd_build(args) -> int:
                                       args.dbigram or None,
                                       stopwords=_stopwords(args))
         save_segments(segments, args.out, n_buckets=args.buckets)
+    # the store write above materialized the segments: the build's pinned
+    # intermediates are no longer needed (also pops the non-JSON "cached"
+    # handle list from stats before the dump below)
+    release_build_caches(stats)
     print(json.dumps({"out": args.out, **stats}))
     return 0
 

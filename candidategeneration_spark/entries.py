@@ -153,11 +153,16 @@ def q_warc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see entrysql.WARC_DOC_MOD note), so the oracle is plain BM25 SQL
     over the same slice — and any bait leaking through the tag/entity
     stripping shows up as a hash mismatch."""
+    import hashlib
     import html as _html
+    import os
     import tempfile
 
     from .entrysql import WARC_DOC_MOD
     from .sources.warc import read_warc, write_warc_gz
+    # gate-scale only: the slice is collected to the driver to author the
+    # .warc.gz fixture (1/WARC_DOC_MOD of a sf0.01 corpus — a few hundred
+    # KB). Real WARC ingestion never routes through the driver.
     sub = load_docs(spark, sf_dir) \
         .where(F.col("doc_id") % WARC_DOC_MOD == 0) \
         .select("doc_id", "text")
@@ -168,10 +173,22 @@ def q_warc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          "<html><head><title>p</title>"
          "<script>var bait = 'sort merge hash';</script>"
          "<style>.c { color: red }</style></head>"
-         f"<body><!-- bait bait --><p>{_html.escape(r['text'] or '')}"
+         # quote=False: escape only & < > — html.escape's default also
+         # emits &#x27; for apostrophes, which html_to_text's entity table
+         # historically missed, and quotes need no escaping in element
+         # content anyway. Keeps the wrap token-exact for ANY corpus text.
+         f"<body><!-- bait bait -->"
+         f"<p>{_html.escape(r['text'] or '', quote=False)}"
          "</p></body></html>")
         for r in rows]
-    root = tempfile.mkdtemp(prefix="warc_gate_")
+    # deterministic per-(sf_dir) fixture dir, overwritten in place — a
+    # fresh mkdtemp per invocation would leak one dir per gate run
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "warc_gate_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12])
+    os.makedirs(root, exist_ok=True)
+    for stale in os.listdir(root):  # a prior run may have written more shards
+        os.unlink(os.path.join(root, stale))
     half = max(1, len(pages) // 2)
     write_warc_gz(pages[:half], f"{root}/part-0.warc.gz")
     if pages[half:]:

@@ -91,30 +91,7 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 """
 
 
-_TOK_CTE = f"""
-tok AS (
-  SELECT doc_id,
-         list_filter(
-           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9.]', ' ', 'g'))), '\\s+'),
-           t -> len(t) >= {MIN_TOKEN_LEN}) AS toks
-  FROM documents
-),
-stats AS (
-  SELECT count(*) AS n_docs,
-         COALESCE(sum(len(toks)), 0) AS total_tokens,
-         COALESCE(sum(len(toks)), 0) // count(*) AS avgdl
-  FROM tok
-),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf
-  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
-  GROUP BY doc_id, term
-),
-docmeta AS (
-  SELECT doc_id, max(tf) AS maxtf, sum(tf) AS doc_len FROM tf GROUP BY doc_id
-),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-"""
+_TOK_CTE = _tok_cte()
 
 _BM25_EXPR = bm25_sql("tf.tf", "docmeta.maxtf", "df.df", "docmeta.doc_len",
                       "stats.n_docs", "stats.avgdl")

@@ -113,6 +113,11 @@ def decontaminate(docs: DataFrame, phrases: DataFrame,
                            F.col("phrase"),
                            F.size(F.split(F.col("phrase"), " "))
                             .alias("plen")).collect()
+    # a NULL phrase can never match a document; drop it here — the old
+    # Spark-side plen filters rejected NULL under three-valued logic, and
+    # the driver-side set comprehensions below would otherwise TypeError
+    # on a None plen
+    prows = [r for r in prows if r["plen"] is not None]
     p = spark.createDataFrame(
         [(r["qid"], r["phrase"], r["plen"]) for r in prows],
         "qid long, phrase string, plen int") if prows else None
@@ -227,7 +232,12 @@ def sample_split(docs: DataFrame, stratum_col: str = "lang",
     # manager never releases it. A local checkpoint pins the snapshot the
     # same way while its blocks stay owned by the RDD lineage, so the
     # ContextCleaner reclaims them when the returned DataFrame is
-    # garbage-collected.
+    # garbage-collected. Known trade: localCheckpoint TRUNCATES lineage,
+    # so an executor lost between the boundary job and the tag job fails
+    # the query instead of recomputing (Spark cannot rebuild the blocks).
+    # For long multi-hour cluster runs prefer a reliable checkpoint dir
+    # (sparkContext.setCheckpointDir + .checkpoint()) at the cost of a
+    # DFS round-trip; the deterministic snapshot requirement is the same.
     part = d.repartitionByRange(num_partitions, *order) \
             .sortWithinPartitions(*order).localCheckpoint(eager=True)
 

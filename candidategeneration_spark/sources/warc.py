@@ -85,7 +85,8 @@ def html_to_text(col):
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+                     ("&quot;", '"'), ("&#39;", "'"), ("&#x27;", "'"),
+                     ("&amp;", "&")):
         c = F.regexp_replace(c, ent, rep)
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 

@@ -90,7 +90,7 @@ def lsh_pairs_stream(docs: DataFrame,
                      max_bucket_size: int = DEFAULT_STREAM_BUCKET_CAP,
                      ttl_ms: int | None = None,
                      time_col: str = "event_time",
-                     watermark_delay: str = "0 seconds") -> DataFrame:
+                     watermark_delay: str | None = None) -> DataFrame:
     """Streaming NEAR-dup: incremental MinHash-band candidate pairs.
 
     The online form of ``textops.lsh_candidate_pairs_hashed``: each doc's
@@ -126,9 +126,20 @@ def lsh_pairs_stream(docs: DataFrame,
     Total state is then O(buckets active within one TTL window), not
     O(corpus) — the dedup-exactness analogue of
     ``dropDuplicatesWithinWatermark``.
+
+    ``watermark_delay`` defaults to the TTL itself: Spark's late-row
+    filter drops rows older than the watermark BEFORE the operator sees
+    them, so a 0-delay watermark would silently discard every
+    out-of-order document outright — a much stricter semantics than the
+    TTL trade above. Delay == TTL tolerates disorder up to the same
+    horizon the state is kept for (state then lives ≲ 2×TTL against the
+    wall clock of the stream). Pass an explicit delay to trade state for
+    disorder tolerance.
     """
     from ..textops import doc_band_keys
     if ttl_ms is not None:
+        if watermark_delay is None:
+            watermark_delay = f"{int(ttl_ms)} milliseconds"
         docs = docs.withWatermark(time_col, watermark_delay)
         bands = doc_band_keys(docs, carry_cols=(time_col,))
     else:

@@ -154,6 +154,21 @@ def test_repetition_stats_hand_case(spark):
 # plan shape: the phrase side broadcasts; packing shuffles once on bucket
 # ---------------------------------------------------------------------------
 
+def test_decontaminate_null_phrase_rows_are_ignored(spark):
+    """A NULL phrase can never match a document; it must be dropped, not
+    TypeError the driver-side length partitioning (the old Spark-side
+    plen filters rejected NULL under three-valued logic)."""
+    import candidategeneration_spark.pipelineops as P
+    docs = spark.createDataFrame(
+        [(0, "keep this clean document"), (1, "the secret phrase here")],
+        "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [(0, "secret phrase"), (1, None)], "qid long, phrase string")
+    got = {(r["qid"], r["doc_id"])
+           for r in P.decontaminate(docs, phrases).collect()}
+    assert got == {(0, 1)}  # the NULL phrase matched nothing, crashed nothing
+
+
 def test_decontaminate_broadcasts_phrases(spark):
     """Round 4: the phrase prefilter must be an equi (hash) join on the
     gram key — a BroadcastNestedLoopJoin would be O(docs × phrases)."""

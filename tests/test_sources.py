@@ -126,6 +126,35 @@ def test_warc_ingestion_s5(spark, tmp_path):
         assert r["text"] == "Fast & simple key value"
 
 
+def test_warc_gate_wrap_token_exact_with_apostrophes(spark):
+    """The WARC-gate HTML wrap must round-trip token-exactly for ANY
+    corpus text: html.escape's default turns apostrophes into &#x27;,
+    which leaked a spurious 'x27' token through html_to_text (its entity
+    table only decoded &#39;). The gate escapes with quote=False AND the
+    entity table now decodes both forms — assert tokenize(decode(wrap(t)))
+    == tokenize(t) on apostrophe/quote/entity-heavy text."""
+    import html as _html
+    from pyspark.sql import functions as F
+    from candidategeneration_spark.sources.warc import html_to_text
+    from candidategeneration_spark.tokenizer import tokens_col
+    texts = [
+        "don't stop the sort's merge",
+        'say "hash join" & <merge> twice',
+        "literal entity soup &#39; and &#x27; and &amp; here",
+        "plain words no punctuation",
+    ]
+    wrapped = [
+        "<html><head><script>var bait = 'x';</script></head>"
+        f"<body><!-- c --><p>{_html.escape(t, quote=False)}</p></body></html>"
+        for t in texts]
+    df = spark.createDataFrame(list(zip(texts, wrapped)), "raw string, html string")
+    rows = df.select(tokens_col(F.col("raw")).alias("want"),
+                     tokens_col(html_to_text(F.col("html"))).alias("got")
+                     ).collect()
+    for r in rows:
+        assert list(r["got"]) == list(r["want"]), (r["got"], r["want"])
+
+
 def test_warc_record_framing_content_length_exact():
     """Framing must be Content-Length-driven: a body containing the
     'WARC/' marker must not split the record."""
