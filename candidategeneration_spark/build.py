@@ -55,10 +55,11 @@ POSTINGS_PER_ENCODE_TASK = 16_384  # ~35 ms of vectorized encode per task
 # _pair_rows_scored is a SMALL shuffle at bench scale, so AQE coalesces
 # its output to ONE partition — the entire pair kernel (the single most
 # expensive CPU stage of the build, ~6 µs/token) then runs on one task.
-# An explicit repartition sized by token volume (known from the stats
-# aggregate, ~50 ms of kernel per task) restores the parallelism; the
-# 4×cores cap keeps it inert at real scale where the join output is
-# already wide.
+# The kernel width (token volume / this target, ~50 ms of kernel per
+# task, capped at 4×cores) is carried by the join's OWN input exchanges
+# (_pair_join: both sides hash-repartitioned by doc_id at that count, so
+# the join reuses the partitioning and AQE leaves it alone) — no extra
+# shuffle at any scale.
 TOKENS_PER_PAIR_TASK = 8_192
 # build_segments sizes from an UPPER BOUND (distance × total tokens,
 # ~1.5-2× the deduped pair count) and pair rows are ~2× heavier than
