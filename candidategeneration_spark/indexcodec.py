@@ -78,6 +78,22 @@ def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
         # all single-byte values (< 128): the bytes ARE the values — the
         # common case for d-gaps of dense lists and tf streams
         return b.astype(np.uint64)
+    # uniform-width fast path (round-5): quantized BM25 scores inside one
+    # 128-posting block share a magnitude band, so every value encodes to
+    # the SAME byte length L (typically 4). Detect by the first
+    # terminator, verify with two strided mask checks, decode by reshape —
+    # the general grouped-reduceat path costs ~3x more per small block,
+    # and block decode is the serving kernel's hot path.
+    first_end = int(np.argmax((b & 0x80) == 0))
+    width = first_end + 1
+    if b.shape[0] % width == 0:
+        m = b.reshape(-1, width)
+        if not (m[:, -1] & 0x80).any() and (width == 1
+                                            or (m[:, :-1] & 0x80).all()):
+            vals = (m[:, 0].astype(np.uint64) & _MASK7)
+            for j in range(1, width):
+                vals |= (m[:, j].astype(np.uint64) & _MASK7) << _U64(7 * j)
+            return vals
     ends = np.flatnonzero((b & 0x80) == 0)
     starts = np.empty(ends.shape[0], dtype=np.int64)
     starts[0] = 0

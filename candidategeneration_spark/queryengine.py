@@ -194,6 +194,60 @@ class _Cursor:
         self.pos = int(np.searchsorted(self.dids, did, side="left"))
 
 
+def _multi_block_skip(c: "_Cursor", boundary: int, others_bm: list[int],
+                      threshold: int, stop_cap: int) -> int:
+    """Vectorized multi-block skip along the binding list (round-5).
+
+    The plain BMW prune advances ONE covering block per Python loop
+    iteration; on a skewed query (1M-posting hot list + 1k rare list) the
+    hot list's ~8k block boundaries each cost a full pivot/sort/bound
+    iteration (~10µs), so 'metadata-only' skipping still paid ~80ms of
+    Python. This helper scans the binding list's block metadata in ONE
+    NumPy pass instead.
+
+    Soundness: on the docID range (boundary, stop_cap] every OTHER pivot
+    list stays inside its current covering block (stop_cap = min of their
+    covering-block ends and the next list's cur_did - 1), so its block-max
+    contribution is the CONSTANT ``others_bm``; only the binding list ``c``
+    crosses blocks there. For a doc in binding-block ``bi`` the safe bound
+    is ``_safe_bound(others_bm + [block_max[bi]])``; for a doc the binding
+    list skips entirely it is ``_safe_bound(others_bm)``, which is <=
+    the already-failed covering bound by monotonicity. Returns the first
+    docID in (boundary, stop_cap + 1] not provably below ``threshold``:
+    the start of the first binding block whose bound reaches it, else
+    ``stop_cap + 1``.
+    """
+    bl, bm = c.seg.block_last, c.seg.block_max
+    nb = bl.shape[0]
+    # first block past the failed covering block; its start is bl[bi0-1]+1
+    bi0 = int(np.searchsorted(bl, boundary, side="left")) + 1
+    # last block whose range intersects (boundary, stop_cap]: block bi
+    # covers (bl[bi-1], bl[bi]], intersecting iff bl[bi-1] < stop_cap
+    hi = min(int(np.searchsorted(bl, stop_cap, side="left")) + 1, nb)
+    if bi0 >= hi:
+        return stop_cap + 1
+    x = bm[bi0:hi]
+    pos_o = 0
+    mx_o = None
+    for v in others_bm:
+        if v > 0:
+            pos_o += v
+        if mx_o is None or v > mx_o:
+            mx_o = v
+    # vectorized _safe_bound(others_bm + [x]) with others held constant
+    if pos_o > 0:
+        bounds = pos_o + np.maximum(x, 0)
+    elif mx_o is None:
+        bounds = x
+    else:
+        bounds = np.where(x > 0, x, np.maximum(x, mx_o))
+    hit = np.nonzero(bounds >= threshold)[0]
+    if hit.shape[0] == 0:
+        return stop_cap + 1
+    bi_star = bi0 + int(hit[0])
+    return int(bl[bi_star - 1]) + 1
+
+
 def _safe_bound(vals: list[int]) -> int:
     """Max possible sum over any NON-EMPTY subset of ``vals``.
 
@@ -291,13 +345,30 @@ def topk_bmwand(segments: list[Segment], k: int):
             # covering block ends at >= boundary, so scores there are bounded
             # by bm_sum. Jump past the smallest block boundary — the
             # block-max skip of the north star.
-            boundary = min(c.block_last_for(pivot_did)
-                           for c in live[: pivot + 1])
+            pivot_set = live[: pivot + 1]
+            ends = [c.block_last_for(pivot_did) for c in pivot_set]
+            j = min(range(len(ends)), key=ends.__getitem__)
+            boundary = ends[j]
             target = boundary + 1
             if pivot + 1 < len(live):
                 target = min(target, live[pivot + 1].cur_did)
             target = max(target, pivot_did + 1)
-            for c in live[: pivot + 1]:
+            # multi-block fast path: while every OTHER pivot list stays in
+            # its current covering block (and no list past the pivot starts),
+            # scan the binding list's block metadata vectorized instead of
+            # re-entering the loop once per block (see _multi_block_skip)
+            stop_cap = min(
+                (e for i2, e in enumerate(ends) if i2 != j),
+                default=(1 << 62))
+            if pivot + 1 < len(live):
+                stop_cap = min(stop_cap, live[pivot + 1].cur_did - 1)
+            if stop_cap > boundary:
+                others_bm = [c.block_max_for(pivot_did)
+                             for i2, c in enumerate(pivot_set) if i2 != j]
+                target = max(target, _multi_block_skip(
+                    pivot_set[j], boundary, others_bm,
+                    eff_threshold, stop_cap))
+            for c in pivot_set:
                 c.next_geq(target)
             continue
         # EVALUATE window: align every list onto >= pivot_did (prefix lists

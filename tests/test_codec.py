@@ -176,3 +176,64 @@ def test_opp_vbyte_is_not_leb128():
     assert opp != leb
     assert opp == bytes([0x82, 0x2C])   # msb group first, flag on first
     assert leb == bytes([0xAC, 0x02])   # lsb group first, flag on first
+
+
+def test_vbyte_uniform_width_fast_path():
+    """Round-5 uniform-width decode: a block whose values share one LEB128
+    byte length (the shape of x1e7-quantized BM25 score streams) decodes by
+    reshape; verify exact equality against the encoder across widths and
+    against near-miss shapes that must fall back to the general path."""
+    for width_bits in (7, 14, 21, 28, 35, 42, 56, 63):
+        lo = 1 << (width_bits - 7) if width_bits > 7 else 0
+        hi = (1 << width_bits) - 1
+        rng = np.random.default_rng(width_bits)
+        v = rng.integers(lo, hi, 257, dtype=np.uint64)
+        v |= np.uint64(lo)  # pin every value into the width band
+        assert np.array_equal(ic.vbyte_decode(ic.vbyte_encode(v)), v)
+    # near-miss: one value narrower / one wider than the rest
+    base = np.full(128, 10_000_000, dtype=np.uint64)
+    for outlier in (np.uint64(1), np.uint64(1) << np.uint64(40)):
+        v = base.copy()
+        v[67] = outlier
+        assert np.array_equal(ic.vbyte_decode(ic.vbyte_encode(v)), v)
+    # total size divisible by the first width but misaligned groups
+    v = np.array([300, 5, 300, 300, 5, 300], dtype=np.uint64)  # 2+1 bytes
+    assert np.array_equal(ic.vbyte_decode(ic.vbyte_encode(v)), v)
+
+
+def test_bmwand_multi_block_skip_differential():
+    """Round-5 vectorized multi-block skip: BMW must stay exactly equal to
+    the exhaustive kernel on adversarial shapes — negative block maxes
+    (unsmoothed IDF), extreme df skew (the shape that exercises long
+    metadata-only skips), ties, and single-list threshold priming."""
+    from candidategeneration_spark.queryengine import (
+        topk_bmwand, topk_exhaustive)
+
+    def synth(r, n, universe, lo, hi):
+        dids = np.sort(r.choice(universe, n, replace=False)).astype(np.int64)
+        scores = r.integers(lo, hi, n).astype(np.int64)
+        return ic.encode_postings(
+            dids, scores, r.integers(1, 50, n).astype(np.int64))
+
+    for trial in range(120):
+        r = np.random.default_rng(trial)
+        nlists = int(r.integers(1, 5))
+        universe = int(r.integers(50, 20_000))
+        segs = []
+        for _ in range(nlists):
+            n = int(r.integers(1, min(universe, int(r.integers(2, 5000)))))
+            lo = int(r.choice([-1000, -10, 1]))
+            hi = max(int(r.choice([5, 100, 100_000])), lo + 10)
+            segs.append(synth(r, n, universe, lo, hi))
+        for k in (1, 3, 10):
+            a = topk_bmwand(segs, k)
+            b = topk_exhaustive(segs, k)
+            assert np.array_equal(a[0], b[0]), (trial, k)
+            assert np.array_equal(a[1], b[1]), (trial, k)
+    # the skewed 1-rare + 1-hot shape: long vectorized skips + priming
+    r = np.random.default_rng(999)
+    skew = [synth(r, 50, 400_000, 1, 1_000_000),
+            synth(r, 100_000, 400_000, 1, 1_000_000)]
+    a = topk_bmwand(skew, 10)
+    b = topk_exhaustive(skew, 10)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
