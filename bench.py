@@ -102,6 +102,27 @@ def main() -> None:
     extras["query_mean_ms"] = round(timings["query_wand"] / N_QUERIES * 1e3, 2)
     extras["query_result_rows"] = n_res
 
+    # steady-state serving (recorded as an extra, NOT in the headline sum,
+    # so round-1..4 wall-time comparability is preserved): the index is
+    # prepared (collected + broadcast) ONCE and the batch runs as a single
+    # shuffle-free mapInPandas stage — the physical strategy a deployment
+    # picks when the working set fits (and the apples-to-apples shape vs
+    # the reference's C++ loop, which loads its arrays once per query set,
+    # algo_toplayer.cpp:393-474). Results are asserted identical to the
+    # join mode in tests/test_build_query.py.
+    from candidategeneration_spark.queryengine import (
+        prepare_index, wand_topk_prepared)
+    prep = prepare_index(seg_uni)
+    wand_topk_prepared(prep, qdf.limit(4), k=10).count()
+    pbest = None
+    for _ in range(4):
+        t0 = time.time()
+        n_p = wand_topk_prepared(prep, qdf, k=10).count()
+        el = time.time() - t0
+        pbest = el if pbest is None else min(pbest, el)
+    assert n_p == n_res
+    extras["query_prepared_s"] = round(pbest, 3)
+
     # per-query latency DISTRIBUTION (BASELINE metric asks for p99): the
     # serving kernel timed query-by-query against the prepared index —
     # the same per-query shape as the reference's C++ engine loop.
