@@ -237,3 +237,17 @@ def test_bmwand_multi_block_skip_differential():
     a = topk_bmwand(skew, 10)
     b = topk_exhaustive(skew, 10)
     assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_vbyte_large_buffer_width_composition_path():
+    """The >=4KiB general decode takes the per-width composition path;
+    exact equality with the encoder on mixed widths spanning 1-10 bytes."""
+    rng = np.random.default_rng(17)
+    exps = rng.integers(0, 63, 20_000)
+    v = (np.uint64(1) << exps.astype(np.uint64)) | \
+        rng.integers(0, 1 << 20, 20_000).astype(np.uint64)
+    v[rng.choice(20_000, 500, replace=False)] = np.uint64((1 << 64) - 1)
+    v[rng.choice(20_000, 500, replace=False)] = np.uint64(0)
+    enc = ic.vbyte_encode(v)
+    assert len(enc) >= ic._WIDTH_DECODE_MIN_BYTES  # sanity: the big path
+    assert np.array_equal(ic.vbyte_decode(enc), v)
