@@ -324,6 +324,10 @@ class Segment:
         "tf_off",
     )
 
+    # True on decode-memoizing wrappers (queryengine._CachingSegment):
+    # tells the lookup kernel a full decode amortizes across queries
+    cache_resident = False
+
     def __init__(self, df, did_blob, score_blob, tf_blob, block_last,
                  block_max, block_n, did_off, score_off, tf_off):
         self.df = int(df)

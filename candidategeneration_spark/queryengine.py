@@ -420,6 +420,98 @@ def topk_bmwand(segments: list[Segment], k: int):
     return dids, scs
 
 
+def _lookup_contrib(seg: Segment, cand: np.ndarray) -> np.ndarray:
+    """Contribution of ``seg`` for each docID in sorted-unique ``cand``
+    (0 where the doc is absent) — random access into the compressed list.
+
+    Two physical paths, same result:
+
+    - full-decode + one vectorized ``searchsorted`` when the list is (or is
+      about to be) fully decoded anyway — on the serving path the
+      ``_CachingSegment`` wrapper memoizes ``decode_ds`` so every query
+      after the first pays only the binary search;
+    - per-block decode otherwise: only blocks that contain a candidate are
+      decoded (≤ ``len(cand)`` blocks of 128 postings), the compressed
+      long tail is never touched.
+    """
+    out = np.zeros(cand.shape[0], dtype=np.int64)
+    if seg.n_blocks == 0 or cand.shape[0] == 0:
+        return out
+    # block index that would contain each candidate (block bi covers
+    # (block_last[bi-1], block_last[bi]])
+    bis = np.searchsorted(seg.block_last, cand, side="left")
+    inb = bis < seg.n_blocks
+    if not inb.any():
+        return out
+    uniq_blocks = np.unique(bis[inb])
+    if (seg.cache_resident
+            or getattr(seg, "_ds", None) is not None
+            or uniq_blocks.shape[0] * 4 >= seg.n_blocks):
+        dids, scores = seg.decode_ds()
+        idx = np.searchsorted(dids, cand)
+        ok = idx < dids.shape[0]
+        ok[ok] &= dids[idx[ok]] == cand[ok]
+        out[ok] = scores[idx[ok]]
+        return out
+    for bi in uniq_blocks:
+        sel = np.flatnonzero((bis == int(bi)) & inb)
+        d, s = seg.decode_block_ds(int(bi))
+        idx = np.searchsorted(d, cand[sel])
+        ok = idx < d.shape[0]
+        ok[ok] &= d[idx[ok]] == cand[sel][ok]
+        out[sel[ok]] = s[idx[ok]]
+    return out
+
+
+def topk_lookup(segments: list[Segment], k: int):
+    """Exact top-k for the negative-hot-list query shape, or ``None``.
+
+    Unsmoothed IDF (``utilsClass.java:115-130``) makes every contribution of
+    a df > N/2 term NEGATIVE — in source code that is precisely the hottest
+    vocabulary (``def``, ``class``, ``return``). Such a list can never lift
+    a document: a doc appearing ONLY in all-negative lists scores at most
+    ``max(neg list maxes)`` (a sum of negatives is ≤ each of them). So the
+    exact top-k is computable WITHOUT streaming the hot list:
+
+    1. candidates = union of the positive-capable lists' docs (group-sum);
+    2. add each all-negative list's contribution by RANDOM ACCESS — decode
+       only the blocks containing a candidate (:func:`_lookup_contrib`);
+    3. if the k-th candidate score STRICTLY beats the neg-only bound, the
+       result is exact (ties must lose on doc_id to docs we never scored,
+       hence strict); otherwise return ``None`` and the caller falls back
+       to the exhaustive kernel.
+
+    This is the selective-lookup idea of the reference's flash-fetch
+    (``algo_toplayer.cpp:85-290`` X5/J6) made exact, and the reason the
+    serving path stays latency-flat when a query mixes a rare identifier
+    with a keyword whose list is ~the whole corpus: work is proportional to
+    the RARE list's length, not the hot one's.
+    """
+    pos, neg = [], []
+    for s in segments:
+        if s.n_blocks == 0:
+            continue
+        (pos if int(s.block_max.max()) > 0 else neg).append(s)
+    if not pos or not neg:
+        return None
+    decoded = [s.decode_ds() for s in pos]
+    if len(pos) == 1:
+        cand, base = decoded[0]  # already sorted + per-doc unique
+    else:
+        cand, base = _group_sum(np.concatenate([d[0] for d in decoded]),
+                                np.concatenate([d[1] for d in decoded]))
+    if cand.shape[0] < k:
+        return None  # top-k may need docs from the negative lists alone
+    scores = base.copy()
+    for s in neg:
+        scores += _lookup_contrib(s, cand)
+    dids, scs = _final_topk(cand, scores, k)
+    neg_bound = max(int(s.block_max.max()) for s in neg)
+    if int(scs[-1]) <= neg_bound:
+        return None  # a never-scored neg-only doc could reach the tail
+    return dids, scs
+
+
 # Dispatch constants, re-measured for the block-at-a-time lazy-decode WAND
 # kernel (round-2): WAND wins when pruning can actually skip block decodes —
 # (a) a single list of any size past ~25k postings (3.3-5x: blocks whose max
@@ -454,6 +546,40 @@ def topk_auto(segments: list[Segment], k: int):
             and all(int(s.block_max.max()) > 0
                     for s in segments if s.n_blocks > 0):
         return topk_bmwand(segments, k)
+    # negative-hot shape: some list's contributions are ALL <= 0 (df > N/2
+    # under unsmoothed IDF — keywords in source code). WAND's gate above
+    # refuses it, but the exhaustive stream over the hot list is pure
+    # bandwidth; when the positive lists are small, the lookup kernel
+    # computes the same exact top-k touching only candidate blocks.
+    if total >= WAND_MIN_TOTAL:
+        pos_total = blocks_cost = 0
+        has_neg = False
+        for s in segments:
+            if s.n_blocks == 0:
+                continue
+            if int(s.block_max.max()) > 0:
+                pos_total += int(s.df)
+            else:
+                has_neg = True
+        if has_neg and pos_total >= k:
+            for s in segments:
+                if s.n_blocks == 0 or int(s.block_max.max()) > 0:
+                    continue
+                if getattr(s, "_ds", None) is not None:
+                    blocks_cost += int(s.df) >> 6   # searchsorted only
+                elif s.cache_resident:
+                    # serving: the one-time full decode amortizes across
+                    # the batch (the exhaustive kernel would memoize the
+                    # very same decode on this wrapper)
+                    blocks_cost += int(s.df) >> 4
+                else:
+                    # cold worst case: one 128-posting block decoded per
+                    # candidate (candidates <= pos_total)
+                    blocks_cost += min(pos_total * 128, int(s.df))
+            if (pos_total + blocks_cost) * 2 < total:
+                res = topk_lookup(segments, k)
+                if res is not None:
+                    return res
     return topk_exhaustive(segments, k)
 
 
@@ -473,6 +599,8 @@ class _CachingSegment:
 
     __slots__ = ("seg", "_blocks", "_ds",
                  "df", "block_last", "block_max", "block_n")
+
+    cache_resident = True  # decode memoization amortizes across queries
 
     def __init__(self, seg: Segment):
         self.seg = seg

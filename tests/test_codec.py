@@ -251,3 +251,117 @@ def test_vbyte_large_buffer_width_composition_path():
     enc = ic.vbyte_encode(v)
     assert len(enc) >= ic._WIDTH_DECODE_MIN_BYTES  # sanity: the big path
     assert np.array_equal(ic.vbyte_decode(enc), v)
+
+
+def _synth_seg(r, n, universe, lo, hi):
+    dids = np.sort(r.choice(universe, n, replace=False)).astype(np.int64)
+    scores = r.integers(lo, hi, n).astype(np.int64)
+    return ic.encode_postings(
+        dids, scores, r.integers(1, 50, n).astype(np.int64))
+
+
+def test_lookup_kernel_differential():
+    """topk_lookup (round-5 negative-hot selective lookup): whenever it
+    answers, it must equal the exhaustive kernel exactly — and topk_auto
+    (which may now dispatch to it) must ALWAYS equal exhaustive."""
+    from candidategeneration_spark.queryengine import (
+        topk_auto, topk_exhaustive, topk_lookup)
+
+    answered = 0
+    for trial in range(150):
+        r = np.random.default_rng(10_000 + trial)
+        nlists = int(r.integers(2, 5))
+        universe = int(r.integers(50, 20_000))
+        segs = []
+        for li in range(nlists):
+            n = int(r.integers(1, min(universe, int(r.integers(2, 5000)))))
+            # mix all-negative lists (unsmoothed-IDF hot terms) with
+            # positive ones, including near-zero maxes for boundary ties
+            lo, hi = [(-1000, -1), (-50, 0), (1, 1000), (-100, 100)][
+                int(r.integers(0, 4))]
+            segs.append(_synth_seg(r, n, universe, lo, hi))
+        for k in (1, 3, 10):
+            ex = topk_exhaustive(segs, k)
+            lk = topk_lookup(segs, k)
+            if lk is not None:
+                answered += 1
+                assert np.array_equal(lk[0], ex[0]), (trial, k)
+                assert np.array_equal(lk[1], ex[1]), (trial, k)
+            au = topk_auto(segs, k)
+            assert np.array_equal(au[0], ex[0]), (trial, k)
+            assert np.array_equal(au[1], ex[1]), (trial, k)
+    assert answered > 50  # the shape mix must actually exercise the kernel
+
+
+def test_lookup_kernel_neg_hot_dispatch_and_block_economy():
+    """The flagship shape — rare positive identifier + all-negative hot
+    keyword list: topk_auto must dispatch the lookup kernel (not stream
+    the hot list) and decode only candidate blocks."""
+    from candidategeneration_spark.queryengine import (
+        _CachingSegment, topk_auto, topk_exhaustive, topk_lookup)
+
+    r = np.random.default_rng(77)
+    hot = _synth_seg(r, 200_000, 400_000, -1_000_000, -1)
+    rare = _synth_seg(r, 200, 400_000, 1, 1_000_000)
+    ex = topk_exhaustive([rare, hot], 10)
+    lk = topk_lookup([rare, hot], 10)
+    assert lk is not None
+    assert np.array_equal(lk[0], ex[0]) and np.array_equal(lk[1], ex[1])
+
+    # serving wrapper: dispatches lookup, memoizes ONE full decode (the
+    # same decode the exhaustive kernel would memoize) and answers
+    # identically; repeat queries then pay only the binary search
+    whot = _CachingSegment(hot)
+    au = topk_auto([rare, whot], 10)
+    assert np.array_equal(au[0], ex[0]) and np.array_equal(au[1], ex[1])
+    assert whot._ds is not None            # amortized full decode
+    au2 = topk_auto([rare, whot], 10)
+    assert np.array_equal(au2[0], ex[0])
+
+    # cold block economy (plain segments / non-resident caches): only
+    # blocks containing a candidate are decoded — ≤ one per candidate
+    class _ColdCache:
+        cache_resident = False
+
+        def __init__(self, seg):
+            self.seg = seg
+            self.decoded = set()
+
+        def __getattr__(self, name):
+            return getattr(self.seg, name)
+
+        def decode_block_ds(self, i):
+            self.decoded.add(i)
+            return self.seg.decode_block_ds(i)
+
+    probe = _ColdCache(hot)
+    lk2 = topk_lookup([rare, probe], 10)
+    assert lk2 is not None
+    assert np.array_equal(lk2[0], ex[0]) and np.array_equal(lk2[1], ex[1])
+    assert len(probe.decoded) <= 200       # ≤ one block per candidate
+
+
+def test_lookup_kernel_tie_fallback_is_exact():
+    """A neg-only doc TYING the k-th candidate score must win on doc_id —
+    the lookup kernel must refuse (return None) and topk_auto must fall
+    back to the exhaustive answer."""
+    from candidategeneration_spark.queryengine import (
+        topk_auto, topk_exhaustive, topk_lookup)
+
+    k = 3
+    # positive list: docs 100..102 score +2
+    pos = ic.encode_postings(np.array([100, 101, 102], np.int64),
+                             np.array([2, 2, 2], np.int64),
+                             np.ones(3, np.int64))
+    # negative list: doc 1 scores -3 (neg-only, smaller doc_id), docs
+    # 100..102 score -5 → candidate totals -3 == neg bound → tie → None
+    neg = ic.encode_postings(np.array([1, 100, 101, 102], np.int64),
+                             np.array([-3, -5, -5, -5], np.int64),
+                             np.ones(4, np.int64))
+    assert topk_lookup([pos, neg], k) is None
+    ex = topk_exhaustive([pos, neg], k)
+    assert ex[0][0] == 1                   # the neg-only doc wins the tie
+    au = topk_auto([pos, neg], k)
+    assert np.array_equal(au[0], ex[0]) and np.array_equal(au[1], ex[1])
+    # fewer candidates than k must also refuse
+    assert topk_lookup([pos, neg], 4) is None
