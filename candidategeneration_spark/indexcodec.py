@@ -360,6 +360,41 @@ class Segment:
         scores = zigzag_decode(vbyte_decode(self.score_blob[s0:s1]))
         return dids, scores
 
+    def decode_blocks_ds(self, blocks: np.ndarray):
+        """Decode a SORTED-UNIQUE subset of blocks in one vectorized pass
+        → (doc_ids, scores), globally sorted.
+
+        Because block-head gaps re-anchor on the previous block's LAST
+        docID (see :meth:`decode_block_ds`), every block decodes
+        independently — so the selected blocks' byte ranges can be joined
+        into ONE buffer and fed to a single ``vbyte_decode``, replacing the
+        per-block Python loop whose NumPy-call overhead (~50µs/block)
+        dwarfs the 128-element decodes themselves. DocIDs are rebuilt with
+        one global cumsum, per-block re-based by subtracting the running
+        total at each block start and adding the block's anchor. Blocks
+        are disjoint increasing docID ranges, so the concatenated output
+        is globally sorted — callers binary-search it directly.
+        """
+        blocks = np.asarray(blocks, dtype=np.int64)
+        if blocks.shape[0] == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy()
+        do, so = self.did_off, self.score_off
+        dbuf = b"".join([self.did_blob[do[b]:do[b + 1]] for b in blocks])
+        sbuf = b"".join([self.score_blob[so[b]:so[b + 1]] for b in blocks])
+        gaps = vbyte_decode(dbuf).astype(np.int64)
+        scores = zigzag_decode(vbyte_decode(sbuf))
+        ns = self.block_n[blocks]
+        starts = np.zeros(blocks.shape[0], dtype=np.int64)
+        np.cumsum(ns[:-1], out=starts[1:])
+        cs = np.cumsum(gaps)
+        rebase = np.zeros(blocks.shape[0], dtype=np.int64)
+        rebase[1:] = cs[starts[1:] - 1]
+        anchors = np.where(blocks > 0,
+                           self.block_last[np.maximum(blocks - 1, 0)], 0)
+        dids = cs + np.repeat(anchors - rebase, ns)
+        return dids, scores
+
     def decode_block(self, i: int):
         """Decode block ``i`` → (doc_ids int64, scores int64, tfs int64)."""
         dids, scores = self.decode_block_ds(i)

@@ -430,9 +430,11 @@ def _lookup_contrib(seg: Segment, cand: np.ndarray) -> np.ndarray:
       about to be) fully decoded anyway — on the serving path the
       ``_CachingSegment`` wrapper memoizes ``decode_ds`` so every query
       after the first pays only the binary search;
-    - per-block decode otherwise: only blocks that contain a candidate are
-      decoded (≤ ``len(cand)`` blocks of 128 postings), the compressed
-      long tail is never touched.
+    - selective block decode otherwise: only blocks that contain a
+      candidate are decoded (≤ ``len(cand)`` blocks of 128 postings), in
+      ONE vectorized pass (:meth:`Segment.decode_blocks_ds` joins the
+      selected byte ranges and runs a single VByte decode) — the
+      compressed long tail is never touched.
     """
     out = np.zeros(cand.shape[0], dtype=np.int64)
     if seg.n_blocks == 0 or cand.shape[0] == 0:
@@ -446,20 +448,14 @@ def _lookup_contrib(seg: Segment, cand: np.ndarray) -> np.ndarray:
     uniq_blocks = np.unique(bis[inb])
     if (seg.cache_resident
             or getattr(seg, "_ds", None) is not None
-            or uniq_blocks.shape[0] * 4 >= seg.n_blocks):
+            or uniq_blocks.shape[0] * 2 >= seg.n_blocks):
         dids, scores = seg.decode_ds()
-        idx = np.searchsorted(dids, cand)
-        ok = idx < dids.shape[0]
-        ok[ok] &= dids[idx[ok]] == cand[ok]
-        out[ok] = scores[idx[ok]]
-        return out
-    for bi in uniq_blocks:
-        sel = np.flatnonzero((bis == int(bi)) & inb)
-        d, s = seg.decode_block_ds(int(bi))
-        idx = np.searchsorted(d, cand[sel])
-        ok = idx < d.shape[0]
-        ok[ok] &= d[idx[ok]] == cand[sel][ok]
-        out[sel[ok]] = s[idx[ok]]
+    else:
+        dids, scores = seg.decode_blocks_ds(uniq_blocks)
+    idx = np.searchsorted(dids, cand)
+    ok = idx < dids.shape[0]
+    ok[ok] &= dids[idx[ok]] == cand[ok]
+    out[ok] = scores[idx[ok]]
     return out
 
 

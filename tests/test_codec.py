@@ -319,26 +319,30 @@ def test_lookup_kernel_neg_hot_dispatch_and_block_economy():
     assert np.array_equal(au2[0], ex[0])
 
     # cold block economy (plain segments / non-resident caches): only
-    # blocks containing a candidate are decoded — ≤ one per candidate
+    # blocks containing a candidate are decoded — ≤ one per candidate,
+    # all in a single vectorized decode_blocks_ds call
     class _ColdCache:
         cache_resident = False
 
         def __init__(self, seg):
             self.seg = seg
             self.decoded = set()
+            self.calls = 0
 
         def __getattr__(self, name):
             return getattr(self.seg, name)
 
-        def decode_block_ds(self, i):
-            self.decoded.add(i)
-            return self.seg.decode_block_ds(i)
+        def decode_blocks_ds(self, blocks):
+            self.calls += 1
+            self.decoded.update(int(b) for b in blocks)
+            return self.seg.decode_blocks_ds(blocks)
 
     probe = _ColdCache(hot)
     lk2 = topk_lookup([rare, probe], 10)
     assert lk2 is not None
     assert np.array_equal(lk2[0], ex[0]) and np.array_equal(lk2[1], ex[1])
     assert len(probe.decoded) <= 200       # ≤ one block per candidate
+    assert probe.calls == 1                # one vectorized pass, no loop
 
 
 def test_lookup_kernel_tie_fallback_is_exact():
@@ -365,3 +369,33 @@ def test_lookup_kernel_tie_fallback_is_exact():
     assert np.array_equal(au[0], ex[0]) and np.array_equal(au[1], ex[1])
     # fewer candidates than k must also refuse
     assert topk_lookup([pos, neg], 4) is None
+
+
+def test_decode_blocks_ds_property():
+    """Vectorized multi-block decode == per-block loop, for random
+    segments and random sorted-unique block subsets (incl. singletons,
+    the full set, and block 0 / last-block boundaries)."""
+    for trial in range(40):
+        r = np.random.default_rng(20_000 + trial)
+        n = int(r.integers(1, 3000))
+        seg = _synth_seg(r, n, max(n + 1, 100_000), -10_000, 10_000)
+        nb = seg.n_blocks
+        subsets = [np.arange(nb),                       # full set
+                   np.array([0]), np.array([nb - 1])]   # boundaries
+        for _ in range(3):
+            m = int(r.integers(1, nb + 1))
+            subsets.append(np.sort(r.choice(nb, m, replace=False)))
+        for blocks in subsets:
+            d, s = seg.decode_blocks_ds(blocks)
+            ref_d, ref_s = [], []
+            for b in blocks:
+                bd, bs = seg.decode_block_ds(int(b))
+                ref_d.append(bd)
+                ref_s.append(bs)
+            assert np.array_equal(d, np.concatenate(ref_d)), (trial, blocks)
+            assert np.array_equal(s, np.concatenate(ref_s)), (trial, blocks)
+    # empty subset
+    r = np.random.default_rng(0)
+    seg = _synth_seg(r, 10, 100, 1, 5)
+    d, s = seg.decode_blocks_ds(np.empty(0, np.int64))
+    assert d.shape == (0,) and s.shape == (0,)
