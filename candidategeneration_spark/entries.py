@@ -10,11 +10,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import (
-    PAIR_SEP, build_index, build_postings, global_stats, score_postings,
+    PAIR_SEP, build_index, build_postings, global_stats,
+    release_build_caches, score_postings,
 )
 from .entrysql import QUERY_SET, TOPK  # noqa: F401
 from .queryengine import wand_topk
 from .tokenizer import DBIGRAM_DISTANCE
+
+# Deferred cache release for long-lived gate loops (the round driver runs
+# all gates in ONE session; so does tests/test_entry_contract.py). A gate
+# returns a LAZY plan that still references the build's persisted
+# intermediates, so they cannot be unpersisted before the caller
+# materializes the result — instead each gate releases the PREVIOUS
+# gate's pinned tables on entry (by then the driver has collected that
+# result) and defers its own. Bounds cache-manager growth to one build's
+# worth instead of one per gate — the leak class the round-4 sample_split
+# fix removed, applied to the gate loop itself.
+_DEFERRED_BUILD_CACHES: list[dict] = []
+
+
+def _release_prior_gate_caches() -> None:
+    while _DEFERRED_BUILD_CACHES:
+        release_build_caches(_DEFERRED_BUILD_CACHES.pop())
+
+
+def _gate_build_index(docs: DataFrame, **kwargs):
+    _release_prior_gate_caches()
+    segments, stats = build_index(docs, **kwargs)
+    _DEFERRED_BUILD_CACHES.append(stats)
+    return segments
+
+
+def _gate_cache(df: DataFrame) -> DataFrame:
+    """Gate-owned ``df.cache()`` with the same deferred release."""
+    _release_prior_gate_caches()
+    cached = df.cache()
+    _DEFERRED_BUILD_CACHES.append({"cached": [cached]})
+    return cached
 
 
 def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +168,8 @@ def _query_df(spark: SparkSession) -> DataFrame:
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    segments, _ = build_index(load_docs(spark, sf_dir), dbigram_distance=None)
+    segments = _gate_build_index(load_docs(spark, sf_dir),
+                                 dbigram_distance=None)
     res = wand_topk(segments, _query_df(spark), k=TOPK, use_wand=True)
     return res.select("qid", F.col("rank").cast("long").alias("rank"),
                       "doc_id", "score_q")
@@ -197,15 +230,15 @@ def q_warc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "text")
-    segments, _ = build_index(docs, dbigram_distance=None)
+    segments = _gate_build_index(docs, dbigram_distance=None)
     res = wand_topk(segments, _query_df(spark), k=TOPK, use_wand=True)
     return res.select("qid", F.col("rank").cast("long").alias("rank"),
                       "doc_id", "score_q")
 
 
 def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    segments, _ = build_index(load_docs(spark, sf_dir),
-                              dbigram_distance=DBIGRAM_DISTANCE)
+    segments = _gate_build_index(load_docs(spark, sf_dir),
+                                 dbigram_distance=DBIGRAM_DISTANCE)
     return segments.select(
         "term", F.col("df").cast("long").alias("df"),
         F.col("n_blocks").cast("long").alias("n_blocks"))
@@ -366,8 +399,8 @@ def q_bm25_topk_pairs(spark, sf_dir):
     over the pair segment index via the same WAND kernel (pair keys are
     just terms to the engine)."""
     from itertools import combinations
-    segments, _ = build_index(load_docs(spark, sf_dir),
-                              dbigram_distance=DBIGRAM_DISTANCE)
+    segments = _gate_build_index(load_docs(spark, sf_dir),
+                                 dbigram_distance=DBIGRAM_DISTANCE)
     rows = []
     for qid, terms in QUERY_SET:
         uniq = sorted(set(terms))
@@ -425,7 +458,7 @@ def q_online_greedy_topk(spark, sf_dir):
     grant spaces in model-value order until the 64-posting query budget is
     spent, answer over the granted prefixes only."""
     from . import quality
-    scored = _scored_unigrams(spark, sf_dir).cache()
+    scored = _gate_cache(_scored_unigrams(spark, sf_dir))
     queries = _query_df(spark)
     golden = quality.golden_topk(scored, queries, k=TOPK)
     qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
@@ -442,7 +475,7 @@ def q_selection_lookup_topk(spark, sf_dir):
     each candidate's missing terms are looked up in the full lists, so the
     returned scores are the exact multi-term sums over the candidate set."""
     from . import quality
-    scored = _scored_unigrams(spark, sf_dir).cache()
+    scored = _gate_cache(_scored_unigrams(spark, sf_dir))
     queries = _query_df(spark)
     golden = quality.golden_topk(scored, queries, k=TOPK)
     qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
@@ -478,7 +511,7 @@ def q_toplayer_topk(spark, sf_dir):
     a hard-coded 64-posting prefix; the budgets now come from the trained
     model (NewGreedySelection.java:26-89 → SelectChuncks.java:16-62)."""
     from . import quality
-    scored = _scored_unigrams(spark, sf_dir).cache()
+    scored = _gate_cache(_scored_unigrams(spark, sf_dir))
     queries = _query_df(spark)
     golden = quality.golden_topk(scored, queries, k=TOPK)
     qterms = queries.select("qid", F.explode("terms").alias("term")).distinct()
