@@ -148,10 +148,14 @@ def posting_positions(scored: DataFrame,
         num_partitions = sc.defaultParallelism * 4
     order = [F.col("term").asc(), F.col("score_q").desc(),
              F.col("doc_id").asc()]
-    # persist: the boundary job and the tag job must see the SAME sampled
-    # range boundaries
+    # eager localCheckpoint: the boundary job and the tag job must see the
+    # SAME sampled range boundaries, and unlike a bare persist() the
+    # blocks are garbage-collected with the DataFrame instead of pinning a
+    # postings-sized cache entry per call in a long-lived session (the
+    # sample_split / gate-loop leak class). Same lineage-truncation trade
+    # as pipelineops.sample_split.
     part = scored.repartitionByRange(num_partitions, *order) \
-                 .sortWithinPartitions(*order).persist()
+                 .sortWithinPartitions(*order).localCheckpoint(eager=True)
 
     def boundary(batches):
         from pyspark import TaskContext

@@ -91,8 +91,14 @@ def term_dictionary(doc_tf: DataFrame,
     via ``mapInPandas``. Range partitions are ordered by term, so the
     result is exactly the global dense rank by term — byte-identical to
     the window version and to the DuckDB oracle — while every partition
-    sorts only its own slice. The repartitioned frame is persisted so both
-    jobs see the same sampled range boundaries.
+    sorts only its own slice. The repartitioned frame is eagerly
+    ``localCheckpoint``-ed so both jobs see the same sampled range
+    boundaries — and, unlike a bare ``persist()``, the blocks are
+    garbage-collected with the DataFrame instead of pinning a vocab-sized
+    cache entry per call in a long-lived session (the sample_split /
+    gate-loop leak class). Same lineage-truncation trade as
+    pipelineops.sample_split; on a real cluster swap for a reliable
+    checkpoint via checkpoints.py when executor loss must be survivable.
     """
     import numpy as np
 
@@ -101,7 +107,7 @@ def term_dictionary(doc_tf: DataFrame,
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     part = terms.repartitionByRange(num_partitions, "term") \
-                .sortWithinPartitions("term").persist()
+                .sortWithinPartitions("term").localCheckpoint(eager=True)
     counts = {int(r["pid"]): int(r["n"]) for r in
               part.groupBy(F.spark_partition_id().alias("pid"))
                   .agg(F.count("*").alias("n")).collect()}
