@@ -556,6 +556,26 @@ def build_pair_postings_from_tokens(tokens_df: DataFrame,
     return joined.mapInPandas(gen, schema=PAIR_SCORED_SCHEMA)
 
 
+def pair_needed_terms_prune(scored_uni: DataFrame,
+                            pairs: DataFrame) -> DataFrame:
+    """The needed-terms prune of the budget pair build: restrict the scored
+    unigram table to terms mentioned by ANY candidate pair, as an explicit
+    broadcast left-semi join (the distinct pair-term set is tiny next to
+    the postings table, so the postings never shuffle for this prune).
+
+    Split out of :func:`build_pair_postings_budget` so the plan can be
+    asserted directly (tests/test_plans.py): downstream,
+    ``posting_positions`` eagerly ``localCheckpoint``-s its input, which
+    truncates lineage — the final pair plan starts from the checkpointed
+    scan and no longer SHOWS this join, even though it always runs.
+    """
+    needed = (pairs.select(F.col("t1").alias("term"))
+              .unionByName(pairs.select(F.col("t2").alias("term")))
+              .distinct())
+    return scored_uni.join(F.broadcast(needed), "term", "left_semi") \
+                     .select("term", "doc_id", "score_q")
+
+
 def build_pair_postings_budget(scored_uni: DataFrame, pairs: DataFrame,
                                budget: int) -> DataFrame:
     """J4 exact variant: pair lists merged from top-``budget`` unigram
@@ -595,11 +615,7 @@ def build_pair_postings_budget(scored_uni: DataFrame, pairs: DataFrame,
     rows. No full-length posting list ever crosses an exchange.
     """
     from .quality import posting_positions
-    needed = (pairs.select(F.col("t1").alias("term"))
-              .unionByName(pairs.select(F.col("t2").alias("term")))
-              .distinct())
-    pre = scored_uni.join(F.broadcast(needed), "term", "left_semi") \
-                    .select("term", "doc_id", "score_q")
+    pre = pair_needed_terms_prune(scored_uni, pairs)
     prefix = posting_positions(pre).where(F.col("pos") < budget) \
                                    .drop("pos")
     a = (prefix.join(pairs, prefix["term"] == pairs["t1"])

@@ -81,22 +81,31 @@ def test_dim_join_broadcasts(spark):
 def test_pair_budget_semi_join_broadcasts(spark, docs_sf001):
     """build_pair_postings_budget: the needed-terms prune must be a
     broadcast semi join (the scored table never SortMergeJoins against
-    the tiny pair-derived term set)."""
+    the tiny pair-derived term set). Asserted on the prune stage itself —
+    posting_positions eagerly localCheckpoints downstream, which truncates
+    lineage so the final pair plan no longer SHOWS the prune join even
+    though it always runs."""
     from candidategeneration_spark.build import (
         build_pair_postings_budget, build_postings,
-        global_stats_from_postings, score_postings,
+        global_stats_from_postings, pair_needed_terms_prune,
+        score_postings,
     )
     p = build_postings(docs_sf001)
     st = global_stats_from_postings(p, docs_sf001.count())
     scored = score_postings(p, st["n_docs"], st["avgdl"])
     pairs = spark.createDataFrame([("fast", "key"), ("data", "query")],
                                   "t1 string, t2 string")
+    pre = pair_needed_terms_prune(scored, pairs)
+    plans.assert_broadcast_join(pre)
+    plan = plans.explain_str(pre, "simple")
+    assert "SortMergeJoin" not in plan, \
+        f"needed-terms prune must not shuffle the postings:\n{plan}"
+    # full pipeline: the side joins of budget-bounded prefixes x pair set
+    # may legally shuffle at scale (the reference's pair universe is ~11M
+    # pairs), but an all-pairs nested-loop join is never acceptable
     bp = build_pair_postings_budget(scored, pairs, 16)
-    # the semi join against the needed-term set is explicitly broadcast;
-    # the side joins of budget-bounded prefixes x pair set may legally
-    # shuffle at scale (the reference's pair universe is ~11M pairs), so
-    # no SortMergeJoin prohibition here
-    plans.assert_broadcast_join(bp)
+    plans.assert_no_shuffle_join_of(bp, "BroadcastNestedLoopJoin")
+    plans.assert_no_shuffle_join_of(bp, "CartesianProduct")
 
 
 def test_near_dup_band_join_is_equi_join(spark):
