@@ -508,20 +508,32 @@ def topk_lookup(segments: list[Segment], k: int):
     return dids, scs
 
 
-# Dispatch constants, re-measured for the block-at-a-time lazy-decode WAND
-# kernel (round-2): WAND wins when pruning can actually skip block decodes —
-# (a) a single list of any size past ~25k postings (3.3-5x: blocks whose max
-# can't beat the running top-k threshold are never decoded), or (b) strong
-# length skew with positive bounds (1.9-4x at min_df/total <= 1/50: the
-# rare list drives the pivot, the hot lists skip block-wise). Near-equal
-# list lengths with flat block maxes (the realistic BM25 worst case: every
-# 128-doc block's max is a high percentile of the same score distribution)
-# cannot prune and pay pure overhead (0.2-0.4x) — exhaustive wins there.
-WAND_STEP_FACTOR = 50
+# Dispatch constants, re-measured a third time (round 5) after the
+# uniform-width VByte decode and the vectorized multi-block skip moved BOTH
+# kernels' cost models: exhaustive now streams at ~90 ns/posting (~2x the
+# round-2 kernel), while a multi-list WAND pivot iteration costs
+# ~100-190 us (cursor bookkeeping + the binding-list block_max scan), and
+# the pivot count tracks the combined mass of every list EXCEPT the
+# largest — not min(df): a 100-posting rare list next to a 10k mid list
+# still pays ~10k pivots (measured 0.18x vs exhaustive). Measured win
+# region, identical on flat (uniform-score) and long-tailed (pareto)
+# block-max distributions:
+#   - single list: WAND flat ~1 ms vs exhaustive linear; crossover ~22-25k
+#     postings (was 12k round-2) — 3.7x at 100k, 30x at 1M.
+#   - multi-list: WAND wins ONLY when one list dominates the combined rest
+#     by ~2000x (rare<=250 vs hot=1M: 2.7-4.9x win; rare=500: 1.6x;
+#     rare=1k: 0.91x; every 3-list shape with a mid list >=2.5k: 0.2-0.4x).
+# At 100 TB the corner WIDENS in WAND's favor: hot-list length grows with
+# the corpus (exhaustive cost is linear in it) while the non-max mass for
+# an identifier+keyword query stays rare-list-bound — the ratio test below
+# tracks that automatically. The negative-hot shape (df > N/2 keyword
+# lists, all bounds <= 0) never reaches WAND and is served by the exact
+# selective-lookup kernel instead (see below).
+WAND_PIVOT_COST_RATIO = 2_000
 WAND_MIN_TOTAL = 100_000
-# single-list crossover re-measured with threshold priming (the prime
-# turns pruning on from iteration 1): breakeven ~12k postings
-WAND_SINGLE_MIN = 12_000
+# single-list crossover: WAND's threshold priming makes its cost ~flat in
+# list length; exhaustive crosses ~1 ms at ~22k postings (round-5 decode)
+WAND_SINGLE_MIN = 25_000
 
 
 def topk_auto(segments: list[Segment], k: int):
@@ -537,8 +549,11 @@ def topk_auto(segments: list[Segment], k: int):
             return topk_bmwand(segments, k)
         return topk_exhaustive(segments, k)
     # cheap integer tests first; the per-segment block_max scan (the only
-    # O(blocks) probe) runs only when the size shape already favors WAND
-    if total >= WAND_MIN_TOTAL and min(dfs) * WAND_STEP_FACTOR < total \
+    # O(blocks) probe) runs only when the size shape already favors WAND.
+    # Pivot count tracks (total - max_df) — the candidate mass every list
+    # but the largest can emit — so that, not min(df), is the cost driver.
+    if total >= WAND_MIN_TOTAL \
+            and (total - max(dfs)) * WAND_PIVOT_COST_RATIO < total \
             and all(int(s.block_max.max()) > 0
                     for s in segments if s.n_blocks > 0):
         return topk_bmwand(segments, k)

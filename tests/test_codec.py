@@ -399,3 +399,52 @@ def test_decode_blocks_ds_property():
     seg = _synth_seg(r, 10, 100, 1, 5)
     d, s = seg.decode_blocks_ds(np.empty(0, np.int64))
     assert d.shape == (0,) and s.shape == (0,)
+
+
+def test_topk_auto_dispatch_decisions():
+    """Pins the round-5 cost-model retune of topk_auto: multi-list WAND is
+    worth it only when one list outweighs the combined rest by
+    WAND_PIVOT_COST_RATIO (pivot count tracks total - max_df, NOT
+    min_df — a 100-posting rare list next to a 10k mid list still pays
+    ~10k pivot iterations), and the single-list crossover sits at ~25k
+    postings with the round-5 uniform-width decode. Decision-level test
+    (monkeypatched kernel recorders) — timing lives in /tmp benches; the
+    exactness of whatever is picked is covered by the differential tests
+    above."""
+    import candidategeneration_spark.queryengine as qe
+
+    calls = []
+    real_wand, real_exh = qe.topk_bmwand, qe.topk_exhaustive
+
+    def rec_wand(segs, k):
+        calls.append("wand")
+        return real_wand(segs, k)
+
+    def rec_exh(segs, k):
+        calls.append("exh")
+        return real_exh(segs, k)
+
+    r = np.random.default_rng(99)
+    hot = _synth_seg(r, 200_000, 800_000, 1, 1_000_000)
+    shapes = [
+        ([_synth_seg(r, 30_000, 120_000, 1, 1_000_000)], "wand"),
+        ([_synth_seg(r, 20_000, 80_000, 1, 1_000_000)], "exh"),
+        # 40 * 2000 = 80k < 200,040: one list dominates -> WAND
+        ([_synth_seg(r, 40, 800_000, 1, 1_000_000), hot], "wand"),
+        # 200 * 2000 = 400k >= 200,200 -> exhaustive
+        ([_synth_seg(r, 200, 800_000, 1, 1_000_000), hot], "exh"),
+        # non-max mass is rare+mid = 240 -> 480k >= total -> exhaustive
+        ([_synth_seg(r, 40, 800_000, 1, 1_000_000),
+          _synth_seg(r, 200, 800_000, 1, 1_000_000), hot], "exh"),
+    ]
+    qe.topk_bmwand, qe.topk_exhaustive = rec_wand, rec_exh
+    try:
+        for segs, expect in shapes:
+            calls.clear()
+            res = qe.topk_auto(segs, 10)
+            assert calls and calls[0] == expect, (calls, expect)
+            ex = real_exh(segs, 10)
+            assert np.array_equal(res[0], ex[0])
+            assert np.array_equal(res[1], ex[1])
+    finally:
+        qe.topk_bmwand, qe.topk_exhaustive = real_wand, real_exh
