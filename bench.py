@@ -179,6 +179,20 @@ def main() -> None:
     assert np.array_equal(topk_bmwand(stress, 10)[0],
                           topk_exhaustive(stress, 10)[0])
 
+    # round-5-close dominant-list decomposition on the same shape: this is
+    # what topk_auto now actually dispatches here (decode the 1k rare list,
+    # random-access the 1M hot list, cover the rest with its batched
+    # single-list prefix) — identity vs exhaustive asserted.
+    from candidategeneration_spark.queryengine import topk_decompose
+    best = None
+    for _ in range(5):
+        t0 = time.time()
+        res = topk_decompose(stress, 10)
+        el = (time.time() - t0) * 1e3
+        best = el if best is None else min(best, el)
+    extras["kernel_1M_decompose_ms"] = round(best, 2)
+    assert np.array_equal(res[0], topk_exhaustive(stress, 10)[0])
+
     # negative-hot kernel stress (round 5): under the reference's
     # unsmoothed IDF (utilsClass.java:115-130) a df > N/2 keyword list is
     # ALL-negative — WAND's upper bounds can't prune it and the exhaustive

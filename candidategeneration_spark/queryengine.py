@@ -459,6 +459,127 @@ def _lookup_contrib(seg: Segment, cand: np.ndarray) -> np.ndarray:
     return out
 
 
+def topk_single(seg: Segment, k: int):
+    """Exact top-k of ONE posting list via metadata-ordered BATCHED block
+    decode — the single-list counterpart of :func:`topk_decompose`.
+
+    Block-at-a-time WAND already skips un-competitive blocks, but pays
+    ~110 µs of per-call NumPy overhead per block it does decode — ruinous
+    when k is large (a top-1000 prefix decodes ~10% of a uniform-score
+    list's blocks one by one). Here the block-max metadata drives the
+    same pruning with two vectorized decodes:
+
+    Galloping rounds: decode blocks in descending-``block_max`` order in
+    doubling batches (one vectorized decode per round); after each round
+    recompute τ = the k-th best score decoded so far and drop every
+    undecoded block with ``block_max`` < τ (each of its postings scores
+    ≤ its block max < τ, strictly below the k-th best — ties at τ stay
+    excluded, so exactness holds). The doubling bounds total decoded
+    blocks at ~2x the prune-optimal set; on a flat score distribution
+    the true top-k is spread one-posting-per-block, which is exactly the
+    case where a single fixed-size probe batch yields a uselessly weak τ
+    (measured: it decoded the whole list).
+
+    Exact for any k and any score signs; one full vectorized decode when
+    k is a meaningful fraction of the list."""
+    if seg.n_blocks == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if 4 * k >= int(seg.df):
+        d, s = seg.decode_ds()
+        return _final_topk(d, s, k)
+    bm = np.asarray(seg.block_max)
+    order = np.argsort(-bm, kind="stable")
+    nb = order.shape[0]
+    taken = 0
+    batch = max(1, (k + 127) // 128)
+    ds, ss = [], []
+    total = 0
+    while taken < nb:
+        take = min(batch, nb - taken)
+        d2, s2 = seg.decode_blocks_ds(np.sort(order[taken:taken + take]))
+        ds.append(d2)
+        ss.append(s2)
+        total += s2.shape[0]
+        taken += take
+        if taken >= nb:
+            break
+        if total >= k:
+            s_all = ss[0] if len(ss) == 1 else np.concatenate(ss)
+            if len(ss) > 1:
+                ss = [s_all]
+                ds = [np.concatenate(ds)]
+            tau = np.partition(s_all, total - k)[total - k]
+            elig = bm[order[taken:]] >= tau
+            if not elig.any():
+                break
+            nelig = int(elig.sum())
+            order = np.concatenate([order[:taken], order[taken:][elig]])
+            nb = taken + nelig
+            batch = min(batch * 2, nelig)
+        else:
+            batch *= 2
+    d = ds[0] if len(ds) == 1 else np.concatenate(ds)
+    s = ss[0] if len(ss) == 1 else np.concatenate(ss)
+    return _final_topk(d, s, k)
+
+
+def topk_decompose(segments: list[Segment], k: int):
+    """Exact top-k for the one-dominant-list query shape — the web-scale
+    identifier+keyword query: one list carries ~all the postings, the
+    rest are collectively tiny.
+
+    The exact answer decomposes around the dominant list B:
+
+    1. ``C`` = union of the other lists' docs, scored EXACTLY: group-sum
+       of their full decodes plus B's contribution fetched by random
+       access (:func:`_lookup_contrib` — ≤ 1 compressed block decoded per
+       candidate, in one vectorized pass).
+    2. Any doc ∉ C scores exactly its B entry alone, so the best k of
+       them appear in B's own top-``(k + |C|)`` prefix (the ``+|C|``
+       absorbs prefix entries that are also in C and must not be double
+       counted). The prefix is computed with the flat-cost single-list
+       Block-Max WAND when B is long — B's postings are never streamed.
+    3. Exact top-k = :func:`_final_topk` over C ∪ (prefix ∖ C).
+
+    Exact for EVERY input (any score signs, any shape — unlike
+    :func:`topk_lookup` there is no bound check and no ``None`` path):
+    a doc d outside both sets has ≥ k+|C| B-docs ahead of it in
+    (score desc, doc_id asc) order, of which ≥ k are outside C, and each
+    of those has total score = its B score ≥ d's total — with the
+    tie-break preserved, so the result is bit-identical to the
+    exhaustive kernel (fuzz-asserted). Work is proportional to the SMALL
+    lists' combined length; measured 6.3x over multi-list WAND and 6.9x
+    over exhaustive on rare=1k × hot=1M, 4-6x over WAND in every cell
+    (WAND pays ~110 µs per pivot in per-block decode overhead; this path
+    batches the very same block decodes)."""
+    if not segments:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    dfs = [int(s.df) for s in segments]
+    bi = int(np.argmax(dfs))
+    big, smalls = segments[bi], segments[:bi] + segments[bi + 1:]
+    decoded = [s.decode_ds() for s in smalls if s.n_blocks > 0]
+    if not decoded:
+        cand = np.empty(0, np.int64)
+        scores = np.empty(0, np.int64)
+    elif len(decoded) == 1:
+        cand, scores = decoded[0]  # already sorted + per-doc unique
+        scores = scores + _lookup_contrib(big, cand)
+    else:
+        cand, scores = _group_sum(np.concatenate([d[0] for d in decoded]),
+                                  np.concatenate([d[1] for d in decoded]))
+        scores = scores + _lookup_contrib(big, cand)
+    m = k + int(cand.shape[0])
+    bd, bs = topk_single(big, m)
+    if bd.shape[0]:
+        idx = np.searchsorted(cand, bd)
+        ok = idx < cand.shape[0]
+        ok[ok] = cand[idx[ok]] == bd[ok]
+        keep = ~ok
+        cand = np.concatenate([cand, bd[keep]])
+        scores = np.concatenate([scores, bs[keep]])
+    return _final_topk(cand, scores, k)
+
+
 def topk_lookup(segments: list[Segment], k: int):
     """Exact top-k for the negative-hot-list query shape, or ``None``.
 
@@ -508,36 +629,63 @@ def topk_lookup(segments: list[Segment], k: int):
     return dids, scs
 
 
-# Dispatch constants, re-measured a third time (round 5) after the
-# uniform-width VByte decode and the vectorized multi-block skip moved BOTH
-# kernels' cost models: exhaustive now streams at ~90 ns/posting (~2x the
-# round-2 kernel), while a multi-list WAND pivot iteration costs
-# ~100-190 us (cursor bookkeeping + the binding-list block_max scan), and
-# the pivot count tracks the combined mass of every list EXCEPT the
-# largest — not min(df): a 100-posting rare list next to a 10k mid list
-# still pays ~10k pivots (measured 0.18x vs exhaustive). Measured win
-# region, identical on flat (uniform-score) and long-tailed (pareto)
-# block-max distributions:
-#   - single list: WAND flat ~1 ms vs exhaustive linear; crossover ~22-25k
-#     postings (was 12k round-2) — 3.7x at 100k, 30x at 1M.
-#   - multi-list: WAND wins ONLY when one list dominates the combined rest
-#     by ~2000x (rare<=250 vs hot=1M: 2.7-4.9x win; rare=500: 1.6x;
-#     rare=1k: 0.91x; every 3-list shape with a mid list >=2.5k: 0.2-0.4x).
-# At 100 TB the corner WIDENS in WAND's favor: hot-list length grows with
-# the corpus (exhaustive cost is linear in it) while the non-max mass for
-# an identifier+keyword query stays rare-list-bound — the ratio test below
-# tracks that automatically. The negative-hot shape (df > N/2 keyword
-# lists, all bounds <= 0) never reaches WAND and is served by the exact
-# selective-lookup kernel instead (see below).
-WAND_PIVOT_COST_RATIO = 2_000
-WAND_MIN_TOTAL = 100_000
-# single-list crossover: WAND's threshold priming makes its cost ~flat in
-# list length; exhaustive crosses ~1 ms at ~22k postings (round-5 decode)
-WAND_SINGLE_MIN = 25_000
+# Dispatch constants, re-measured a fourth time (round-5 close) after the
+# batched metadata-ordered kernels (topk_single / topk_decompose) landed.
+# They displace block-at-a-time WAND from BOTH auto-dispatch slots — WAND
+# pays ~110 us of per-call NumPy overhead per block it decodes plus
+# ~100-190 us per pivot iteration, while the batched kernels drive the
+# SAME block-max pruning with O(log blocks) vectorized decode calls.
+# Measured win regions (min-of-5, this host, same synth shapes as the
+# differential tests; exhaustive streams at ~90 ns/posting):
+#   - single list: topk_single beats WAND in EVERY (n, k) cell — 1M/k=10:
+#     1.14 vs 1.24 ms; 1M/k=1000: 10.5 vs 110 ms; flat-score 1M: 49 vs
+#     348 ms. vs exhaustive the crossover stays ~25k postings (9-46x win
+#     on skewed scores; the flat-score worst case is bounded at ~1.7x
+#     exhaustive by the galloping 2x decode bound).
+#   - multi list: topk_decompose (decode the small lists exactly, random-
+#     access the dominant list for their candidates, cover everything
+#     else with the dominant list's own topk_single prefix) beats WAND in
+#     every measured cell (4-6x uniformly: rare=250 x hot=1M: 6.2 vs
+#     28.1 ms; rare=1k: 13.9 vs 88.3; mid=25k 3-list: 132 vs 695) and
+#     beats exhaustive whenever the non-dominant mass times the ~128-
+#     posting/candidate cold lookup cost is under streaming the whole
+#     thing (rare=250: 6.2 vs 97.7 ms; rare=5k: 63.6 vs 85.8; rare=20k
+#     loses 143.7 vs 87 — the x2-margin cost gate below refuses it
+#     there). That is a ~15x wider win corner than WAND's old 2000x
+#     dominance requirement, with no positivity precondition.
+# At 100 TB the corner widens further in decompose's favor: hot-list
+# length grows with the corpus (exhaustive cost is linear in it) while
+# the non-max mass of an identifier+keyword query stays rare-list-bound —
+# the cost gate tracks that automatically. The negative-hot shape
+# (df > N/2 keyword lists, all bounds <= 0) is still tried on the exact
+# selective-lookup kernel FIRST: when it answers, it touches only
+# candidate blocks of EVERY hot list, where decompose fully decodes all
+# but the largest.
+DECOMP_MIN_TOTAL = 100_000      # below this exhaustive is ~1 ms anyway
+LOOKUP_BLOCK = 128              # cold random access: one block/candidate
+# single-list crossover vs exhaustive (~1 ms at ~22-25k postings with the
+# round-5 uniform-width decode)
+SINGLE_TOPK_MIN = 25_000
+# back-compat aliases (older benches referenced the WAND-era names)
+WAND_MIN_TOTAL = DECOMP_MIN_TOTAL
+WAND_SINGLE_MIN = SINGLE_TOPK_MIN
+
+
+def _lookup_cost(seg, cand_mass: int) -> int:
+    """Estimated postings-decode cost of random-accessing ``cand_mass``
+    candidates in ``seg`` — mirrors :func:`_lookup_contrib`'s actual
+    behavior per cache posture (same model the lookup gate uses)."""
+    if getattr(seg, "_ds", None) is not None:
+        return int(seg.df) >> 6            # searchsorted into the memo only
+    if seg.cache_resident:
+        # serving: the one-time full decode amortizes across the batch
+        return int(seg.df) >> 4
+    # cold worst case: one <=128-posting block decoded per candidate
+    return min(cand_mass * LOOKUP_BLOCK, int(seg.df))
 
 
 def topk_auto(segments: list[Segment], k: int):
-    """Physical-strategy dispatch; both kernels return identical results
+    """Physical-strategy dispatch; every kernel returns identical results
     (asserted in tests), so this is pure cost-based plan choice — the
     engine-side analogue of Catalyst picking broadcast vs shuffle join."""
     if not segments:
@@ -545,24 +693,16 @@ def topk_auto(segments: list[Segment], k: int):
     dfs = [int(s.df) for s in segments]
     total = sum(dfs)
     if len(segments) == 1:
-        if total >= WAND_SINGLE_MIN:
-            return topk_bmwand(segments, k)
+        if total >= SINGLE_TOPK_MIN:
+            return topk_single(segments[0], k)
         return topk_exhaustive(segments, k)
-    # cheap integer tests first; the per-segment block_max scan (the only
-    # O(blocks) probe) runs only when the size shape already favors WAND.
-    # Pivot count tracks (total - max_df) — the candidate mass every list
-    # but the largest can emit — so that, not min(df), is the cost driver.
-    if total >= WAND_MIN_TOTAL \
-            and (total - max(dfs)) * WAND_PIVOT_COST_RATIO < total \
-            and all(int(s.block_max.max()) > 0
-                    for s in segments if s.n_blocks > 0):
-        return topk_bmwand(segments, k)
     # negative-hot shape: some list's contributions are ALL <= 0 (df > N/2
-    # under unsmoothed IDF — keywords in source code). WAND's gate above
-    # refuses it, but the exhaustive stream over the hot list is pure
-    # bandwidth; when the positive lists are small, the lookup kernel
-    # computes the same exact top-k touching only candidate blocks.
-    if total >= WAND_MIN_TOTAL:
+    # under unsmoothed IDF — keywords in source code). The exhaustive
+    # stream over the hot list is pure bandwidth; when the positive lists
+    # are small, the lookup kernel computes the same exact top-k touching
+    # only candidate blocks — of EVERY negative list, so it is tried
+    # before decompose (which fully decodes all but the largest).
+    if total >= DECOMP_MIN_TOTAL:
         pos_total = blocks_cost = 0
         has_neg = False
         for s in segments:
@@ -576,21 +716,22 @@ def topk_auto(segments: list[Segment], k: int):
             for s in segments:
                 if s.n_blocks == 0 or int(s.block_max.max()) > 0:
                     continue
-                if getattr(s, "_ds", None) is not None:
-                    blocks_cost += int(s.df) >> 6   # searchsorted only
-                elif s.cache_resident:
-                    # serving: the one-time full decode amortizes across
-                    # the batch (the exhaustive kernel would memoize the
-                    # very same decode on this wrapper)
-                    blocks_cost += int(s.df) >> 4
-                else:
-                    # cold worst case: one 128-posting block decoded per
-                    # candidate (candidates <= pos_total)
-                    blocks_cost += min(pos_total * 128, int(s.df))
+                blocks_cost += _lookup_cost(s, pos_total)
             if (pos_total + blocks_cost) * 2 < total:
                 res = topk_lookup(segments, k)
                 if res is not None:
                     return res
+        # dominant-list decompose: exact for every shape (no positivity
+        # precondition, no tie refusal) — decode the non-dominant mass,
+        # random-access the dominant list, cover the rest with its
+        # batched single-list prefix. Wins whenever the small mass plus
+        # its lookups is well under streaming `total`; the x2 margin
+        # keeps the marginal region (small_mass ~ total/130 .. total/260
+        # cold) on the never-worse exhaustive side.
+        bi = int(np.argmax(dfs))
+        small_mass = total - dfs[bi]
+        if (small_mass + _lookup_cost(segments[bi], small_mass)) * 2 < total:
+            return topk_decompose(segments, k)
     return topk_exhaustive(segments, k)
 
 

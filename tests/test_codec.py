@@ -401,50 +401,101 @@ def test_decode_blocks_ds_property():
     assert d.shape == (0,) and s.shape == (0,)
 
 
+def test_single_and_decompose_kernels_differential():
+    """The round-5-close batched kernels must equal the exhaustive kernel
+    exactly on every input: topk_single (galloping metadata-ordered
+    single-list top-k) across score signs, flat ties and k up to the
+    list length; topk_decompose (dominant-list decomposition) across
+    1-5 lists of every sign mix — including the shapes its dispatch gate
+    would refuse, since exactness must not depend on the cost model."""
+    from candidategeneration_spark.queryengine import (
+        topk_decompose, topk_exhaustive, topk_single)
+
+    for trial in range(60):
+        r = np.random.default_rng(31_000 + trial)
+        universe = int(r.integers(50, 40_000))
+        n = int(r.integers(1, min(universe, int(r.integers(2, 20_000)))))
+        lo = int(r.choice([-1000, -10, 0, 1]))
+        hi = max(int(r.choice([2, 5, 100, 100_000])), lo + 2)
+        seg = _synth_seg(r, n, universe, lo, hi)
+        for k in (1, 3, 10, 100, 1000):
+            a = topk_single(seg, k)
+            b = topk_exhaustive([seg], k)
+            assert np.array_equal(a[0], b[0]), (trial, k)
+            assert np.array_equal(a[1], b[1]), (trial, k)
+
+    for trial in range(90):
+        r = np.random.default_rng(32_000 + trial)
+        nlists = int(r.integers(1, 6))
+        universe = int(r.integers(50, 30_000))
+        segs = []
+        for _ in range(nlists):
+            n = int(r.integers(1, min(universe, int(r.integers(2, 8000)))))
+            lo, hi = [(-1000, -1), (-50, 0), (1, 1000), (-100, 100),
+                      (1, 3)][int(r.integers(0, 5))]
+            segs.append(_synth_seg(r, n, universe, lo, hi))
+        for k in (1, 3, 10, 50):
+            a = topk_decompose(segs, k)
+            b = topk_exhaustive(segs, k)
+            assert np.array_equal(a[0], b[0]), (trial, k)
+            assert np.array_equal(a[1], b[1]), (trial, k)
+
+
 def test_topk_auto_dispatch_decisions():
-    """Pins the round-5 cost-model retune of topk_auto: multi-list WAND is
-    worth it only when one list outweighs the combined rest by
-    WAND_PIVOT_COST_RATIO (pivot count tracks total - max_df, NOT
-    min_df — a 100-posting rare list next to a 10k mid list still pays
-    ~10k pivot iterations), and the single-list crossover sits at ~25k
-    postings with the round-5 uniform-width decode. Decision-level test
-    (monkeypatched kernel recorders) — timing lives in /tmp benches; the
-    exactness of whatever is picked is covered by the differential tests
-    above."""
+    """Pins the round-5-close cost model: block-at-a-time WAND is out of
+    both auto slots. Single lists >= SINGLE_TOPK_MIN go to the batched
+    topk_single; multi-list shapes go to topk_decompose whenever the
+    non-dominant mass plus its ~128-posting/candidate cold lookups is
+    under half the total stream; the negative-hot selective-lookup
+    kernel keeps FIRST claim on its shape (it random-accesses every
+    negative list where decompose fully decodes all but the largest).
+    Decision-level test (monkeypatched kernel recorders) — timing lives
+    in /tmp benches; exactness of whatever is picked is covered by the
+    differential tests above."""
     import candidategeneration_spark.queryengine as qe
 
     calls = []
-    real_wand, real_exh = qe.topk_bmwand, qe.topk_exhaustive
+    reals = (qe.topk_single, qe.topk_decompose, qe.topk_lookup,
+             qe.topk_exhaustive)
 
-    def rec_wand(segs, k):
-        calls.append("wand")
-        return real_wand(segs, k)
-
-    def rec_exh(segs, k):
-        calls.append("exh")
-        return real_exh(segs, k)
+    def rec(name, f):
+        def g(*a):
+            calls.append(name)
+            return f(*a)
+        return g
 
     r = np.random.default_rng(99)
     hot = _synth_seg(r, 200_000, 800_000, 1, 1_000_000)
+    neg_hot = _synth_seg(r, 200_000, 800_000, -1_000_000, -1)
     shapes = [
-        ([_synth_seg(r, 30_000, 120_000, 1, 1_000_000)], "wand"),
+        ([_synth_seg(r, 30_000, 120_000, 1, 1_000_000)], "single"),
         ([_synth_seg(r, 20_000, 80_000, 1, 1_000_000)], "exh"),
-        # 40 * 2000 = 80k < 200,040: one list dominates -> WAND
-        ([_synth_seg(r, 40, 800_000, 1, 1_000_000), hot], "wand"),
-        # 200 * 2000 = 400k >= 200,200 -> exhaustive
-        ([_synth_seg(r, 200, 800_000, 1, 1_000_000), hot], "exh"),
-        # non-max mass is rare+mid = 240 -> 480k >= total -> exhaustive
+        # (40 + 40*128)*2 = 10,320 < 200,040 -> decompose
+        ([_synth_seg(r, 40, 800_000, 1, 1_000_000), hot], "decomp"),
+        # (200 + 200*128)*2 = 51,600 < 200,200 -> decompose (the old
+        # WAND pivot-ratio gate refused this exact shape)
+        ([_synth_seg(r, 200, 800_000, 1, 1_000_000), hot], "decomp"),
+        # small mass 2000: lookups cap at df -> (2000+200,000)*2 exceeds
+        # the 202,000 stream -> exhaustive
+        ([_synth_seg(r, 2000, 800_000, 1, 1_000_000), hot], "exh"),
+        # non-max mass 240 across three lists -> decompose
         ([_synth_seg(r, 40, 800_000, 1, 1_000_000),
-          _synth_seg(r, 200, 800_000, 1, 1_000_000), hot], "exh"),
+          _synth_seg(r, 200, 800_000, 1, 1_000_000), hot], "decomp"),
+        # rare positive + all-negative hot -> the lookup kernel first
+        ([_synth_seg(r, 200, 800_000, 1, 1_000_000), neg_hot], "lookup"),
     ]
-    qe.topk_bmwand, qe.topk_exhaustive = rec_wand, rec_exh
+    qe.topk_single = rec("single", reals[0])
+    qe.topk_decompose = rec("decomp", reals[1])
+    qe.topk_lookup = rec("lookup", reals[2])
+    qe.topk_exhaustive = rec("exh", reals[3])
     try:
         for segs, expect in shapes:
             calls.clear()
             res = qe.topk_auto(segs, 10)
             assert calls and calls[0] == expect, (calls, expect)
-            ex = real_exh(segs, 10)
+            ex = reals[3](segs, 10)
             assert np.array_equal(res[0], ex[0])
             assert np.array_equal(res[1], ex[1])
     finally:
-        qe.topk_bmwand, qe.topk_exhaustive = real_wand, real_exh
+        (qe.topk_single, qe.topk_decompose, qe.topk_lookup,
+         qe.topk_exhaustive) = reals
