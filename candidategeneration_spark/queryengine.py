@@ -537,8 +537,8 @@ def topk_decompose(segments: list[Segment], k: int):
     2. Any doc ∉ C scores exactly its B entry alone, so the best k of
        them appear in B's own top-``(k + |C|)`` prefix (the ``+|C|``
        absorbs prefix entries that are also in C and must not be double
-       counted). The prefix is computed with the flat-cost single-list
-       Block-Max WAND when B is long — B's postings are never streamed.
+       counted). The prefix is computed with :func:`topk_single`'s
+       galloping batched decode — B's postings are never fully streamed.
     3. Exact top-k = :func:`_final_topk` over C ∪ (prefix ∖ C).
 
     Exact for EVERY input (any score signs, any shape — unlike
