@@ -1,0 +1,164 @@
+"""Extended differential fuzz of the round-5 serving kernels and codec
+fast paths — opt-in (EXTENDED_FUZZ=1), ~4 min of pure NumPy.
+
+The default suite already runs ~2,000 randomized differential cases
+(test_codec.py); this file is the 20x campaign that was run before the
+round-5 close (recorded in BENCH/BASELINE.md): every exact-top-k kernel
+against the exhaustive reference across score signs, tie densities, k
+boundaries (k = n, k > n, k across the 128-posting block edge), cache
+postures (cold Segment / warm _CachingSegment), plus the two
+vbyte_decode fast paths (uniform-width reshape, >=4 KiB per-width
+composition) against a pure-Python LEB128 reference on adversarial
+width mixes. Kept opt-in so the default suite's wall time stays flat;
+CI-style full runs set EXTENDED_FUZZ=1.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import candidategeneration_spark.indexcodec as ic
+from candidategeneration_spark.queryengine import (
+    _CachingSegment, topk_auto, topk_bmwand, topk_decompose,
+    topk_exhaustive, topk_lookup, topk_single)
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("EXTENDED_FUZZ"),
+    reason="extended fuzz campaign; set EXTENDED_FUZZ=1 to run (~4 min)")
+
+
+def _synth(r, n, universe, lo, hi):
+    dids = np.sort(r.choice(universe, n, replace=False)).astype(np.int64)
+    scores = r.integers(lo, hi, n).astype(np.int64)
+    return ic.encode_postings(
+        dids, scores, r.integers(1, 50, n).astype(np.int64))
+
+
+def test_topk_single_extended():
+    for trial in range(1200):
+        r = np.random.default_rng(500_000 + trial)
+        universe = int(r.integers(50, 60_000))
+        n = int(r.integers(1, min(universe, int(r.integers(2, 30_000)))))
+        lo = int(r.choice([-1000, -10, -1, 0, 1, 7]))
+        hi = lo + int(r.choice([1, 2, 3, 50, 100_000]))
+        seg = _synth(r, n, universe, lo, hi)
+        for k in (1, 2, 5, 17, 128, 129, 1000, n, n + 5):
+            a = topk_single(seg, k)
+            b = topk_exhaustive([seg], k)
+            assert np.array_equal(a[0], b[0]), (trial, k)
+            assert np.array_equal(a[1], b[1]), (trial, k)
+
+
+def test_multi_list_kernels_extended():
+    answered = 0
+    for trial in range(1800):
+        r = np.random.default_rng(700_000 + trial)
+        nlists = int(r.integers(1, 7))
+        universe = int(r.integers(30, 40_000))
+        segs = []
+        for _ in range(nlists):
+            n = int(r.integers(1, min(universe, int(r.integers(2, 9000)))))
+            lo, hi = [(-1000, -1), (-50, 0), (1, 1000), (-100, 100),
+                      (0, 2), (-2, 0), (1, 3), (-1, 1)][
+                          int(r.integers(0, 8))]
+            segs.append(_synth(r, n, universe, lo, hi))
+        for k in (1, 3, 10, 64, 333):
+            b = topk_exhaustive(segs, k)
+            for name, got in (
+                    ("decomp", topk_decompose(segs, k)),
+                    ("auto", topk_auto(segs, k)),
+                    ("wand", topk_bmwand(segs, k)),
+                    ("auto-warm", topk_auto(
+                        [_CachingSegment(s) for s in segs], k))):
+                assert np.array_equal(got[0], b[0]), (name, trial, k)
+                assert np.array_equal(got[1], b[1]), (name, trial, k)
+            lk = topk_lookup(segs, k)
+            if lk is not None:
+                answered += 1
+                assert np.array_equal(lk[0], b[0]), (trial, k)
+                assert np.array_equal(lk[1], b[1]), (trial, k)
+    # the shape mix must actually exercise the lookup kernel, not just
+    # its None fallback
+    assert answered > 1000
+
+
+def test_decode_blocks_ds_extended():
+    for trial in range(800):
+        r = np.random.default_rng(900_000 + trial)
+        universe = int(r.integers(200, 80_000))
+        n = int(r.integers(1, min(universe, 40_000)))
+        seg = _synth(r, n, universe, -50_000, 50_000)
+        nb = seg.n_blocks
+        m = int(r.integers(1, nb + 1))
+        blocks = np.sort(r.choice(nb, m, replace=False)).astype(np.int64)
+        d, s = seg.decode_blocks_ds(blocks)
+        dd, ss = [], []
+        for b in blocks:
+            x, y = seg.decode_block_ds(int(b))
+            dd.append(x)
+            ss.append(y)
+        assert np.array_equal(d, np.concatenate(dd)), trial
+        assert np.array_equal(s, np.concatenate(ss)), trial
+
+
+def _leb128_ref(buf):
+    b = np.frombuffer(bytes(buf), dtype=np.uint8)
+    vals, cur, shift = [], 0, 0
+    for byte in b:
+        cur |= (int(byte) & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+        else:
+            vals.append(cur)
+            cur = 0
+            shift = 0
+    return np.array(vals, dtype=np.uint64)
+
+
+def test_vbyte_decode_fast_paths_extended():
+    r = np.random.default_rng(1234)
+    for trial in range(4000):
+        n = int(r.integers(1, 3000))
+        kind = trial % 6
+        if kind == 0:      # uniform width w (the reshape fast path)
+            w = int(r.integers(1, 6))
+            lo, hi = (0, 128) if w == 1 else (
+                1 << (7 * (w - 1)), min(1 << (7 * w), 1 << 63))
+            vals = r.integers(lo, hi, n, dtype=np.uint64)
+        elif kind == 1:    # uniform except ONE value (must fall through)
+            w = int(r.integers(2, 5))
+            vals = r.integers(1 << (7 * (w - 1)), 1 << (7 * w), n,
+                              dtype=np.uint64)
+            vals[int(r.integers(0, n))] = int(r.integers(0, 128))
+        elif kind == 2:    # widths 1-2 mixed; totals may align to a width
+            vals = r.integers(0, 1 << 14, n, dtype=np.uint64)
+        elif kind == 3:    # full 63-bit range
+            vals = r.integers(0, 1 << 63, n, dtype=np.uint64)
+        elif kind == 4:    # all single byte
+            vals = r.integers(0, 128, n, dtype=np.uint64)
+        else:              # mostly width w with compensating swaps so the
+            w = int(r.integers(2, 4))   # byte total stays divisible by w
+            vals = r.integers(1 << (7 * (w - 1)), 1 << (7 * w), n,
+                              dtype=np.uint64)
+            for _ in range(int(r.integers(0, 5))):
+                i, j = r.integers(0, n, 2)
+                vals[i] = int(r.integers(1 << (7 * w),
+                                         1 << min(7 * (w + 1), 63)))
+                vals[j] = int(r.integers(
+                    1 << (7 * max(w - 2, 0)) if w > 1 else 0,
+                    1 << (7 * (w - 1))))
+        buf = ic.vbyte_encode(vals.astype(np.uint64))
+        got = ic.vbyte_decode(buf).astype(np.uint64)
+        assert np.array_equal(got, _leb128_ref(buf)), (trial, kind, n)
+    # giant buffers exercising the >=4 KiB per-width composition path
+    for trial in range(60):
+        n = int(r.integers(5000, 80000))
+        vals = np.concatenate([
+            r.integers(0, 128, n // 3, dtype=np.uint64),
+            r.integers(0, 1 << 63, n // 3, dtype=np.uint64),
+            r.integers(1 << 20, 1 << 22, n - 2 * (n // 3),
+                       dtype=np.uint64)])
+        r.shuffle(vals)
+        buf = ic.vbyte_encode(vals)
+        got = ic.vbyte_decode(buf).astype(np.uint64)
+        assert np.array_equal(got, _leb128_ref(buf)), trial
