@@ -380,74 +380,143 @@ def _pair_rows_scored(pdf: pd.DataFrame, distance: int,
 
     ``__terms`` is sorted ascending (Spark ``sort_array``; pure-ASCII tokens
     so JVM and NumPy string orders agree) — each pair side's unigram score
-    is a vectorized ``searchsorted`` lookup. s1 belongs to the smaller term
-    of the pair (the oracle's t1), s2 to the larger; the stored pair score
-    is s1+s2 (``InvertedIndex.java:302-307``).
+    is a vectorized lookup. s1 belongs to the smaller term of the pair
+    (the oracle's t1), s2 to the larger; the stored pair score is s1+s2
+    (``InvertedIndex.java:302-307``).
+
+    Round-5 close: the kernel is vectorized across the WHOLE Arrow batch
+    (the previous form looped per document — per-doc Python constants and
+    a per-doc *string* searchsorted were most of its ~6 µs/token cost).
+    One hash factorize maps every term/token string to a sorted-vocab id,
+    one int64 searchsorted resolves all tokens against all per-doc score
+    maps at once (doc-major keys ``doc·V + vid`` are globally sorted
+    because each doc's terms are), the d windows slide over the flattened
+    doc-major token array with a doc-boundary mask, and one global
+    ``np.unique`` dedups (global term-row ids are doc-disjoint, so the
+    global dedup IS the per-doc dedup and its ascending key order
+    reproduces the per-doc loop's row order byte-for-byte). Output is
+    byte-identical to the per-doc form (differential test); the only
+    behavior delta is stricter validation — token-resolution is now
+    checked for 1-token docs too, where the loop skipped them before
+    pairing (unreachable through the public build paths, which always
+    feed unfiltered score maps).
     """
     toks = pdf["__toks"] if "__toks" in pdf.columns \
         else tokenize_pandas(pdf["__text"], stopwords)
-    o_term, o_did, o_s1, o_s2 = [], [], [], []
-    for did, ts, terms, scores in zip(
-            pdf["doc_id"].to_numpy(np.int64), toks,
-            pdf["__terms"], pdf["__scores"]):
-        n = len(ts)
-        if n < 2:
-            continue
-        # doc-LOCAL integer ids: windowing/dedup on int64 keys is ~5x
-        # cheaper than string concat + string unique over the ~d*len
-        # pre-dedup pairs; strings are materialized only for the deduped
-        # output pairs
-        tsorted = np.asarray(terms, dtype=str)
-        k = tsorted.shape[0]
-        tok_str = np.asarray(ts, dtype=str)
-        tok_ids = np.searchsorted(tsorted, tok_str)
-        # every token must resolve to its term: scored_uni must be the
-        # UNFILTERED unigram postings of the doc (build_index guarantees
-        # it; a term_filter'ed set here would silently mis-score pairs)
-        if k == 0 or not (tsorted[np.minimum(tok_ids, k - 1)]
-                          == tok_str).all():
-            raise ValueError(
-                "pair pass: document tokens missing from the per-doc "
-                "score map — build_pair_postings needs unfiltered "
-                "scored unigrams")
-        lefts, rights = [], []
-        for s in range(1, min(distance, n - 1) + 1):
-            lefts.append(tok_ids[:-s])
-            rights.append(tok_ids[s:])
-        a = np.concatenate(lefts)
-        b = np.concatenate(rights)
-        neq = a != b
-        a, b = a[neq], b[neq]
-        if a.shape[0] == 0:
-            continue
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        keys = np.unique(lo * k + hi)
-        lo_u = keys // k
-        hi_u = keys % k
-        svals = np.asarray(scores, dtype=np.int64)
-        # plain-Python concat over the DEDUPED pairs beats np.char.add by
-        # ~10x per element (no per-call ufunc machinery on strings)
-        o_term.append(np.fromiter(
-            (a + PAIR_SEP + b for a, b in
-             zip(tsorted[lo_u].tolist(), tsorted[hi_u].tolist())),
-            dtype=object, count=keys.shape[0]))
-        o_did.append(np.full(keys.shape[0], did, np.int64))
-        o_s1.append(svals[lo_u])
-        o_s2.append(svals[hi_u])
-    if not o_term:
-        return pd.DataFrame({
-            "term": pd.Series([], dtype=object),
-            "doc_id": pd.Series([], dtype=np.int64),
-            "tf": pd.Series([], dtype=np.int64),
-            "s1": pd.Series([], dtype=np.int64),
-            "s2": pd.Series([], dtype=np.int64),
-            "score_q": pd.Series([], dtype=np.int64)})
-    s1 = np.concatenate(o_s1)
-    s2 = np.concatenate(o_s2)
+    empty = pd.DataFrame({
+        "term": pd.Series([], dtype=object),
+        "doc_id": pd.Series([], dtype=np.int64),
+        "tf": pd.Series([], dtype=np.int64),
+        "s1": pd.Series([], dtype=np.int64),
+        "s2": pd.Series([], dtype=np.int64),
+        "score_q": pd.Series([], dtype=np.int64)})
+    n_rows = len(pdf)
+    if n_rows == 0:
+        return empty
+    tok_lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=n_rows)
+    term_lens = np.fromiter((len(t) for t in pdf["__terms"]),
+                            dtype=np.int64, count=n_rows)
+    n_tok = int(tok_lens.sum())
+    n_term = int(term_lens.sum())
+    missing_msg = (
+        "pair pass: document tokens missing from the per-doc "
+        "score map — build_pair_postings needs unfiltered "
+        "scored unigrams")
+    if n_tok == 0:
+        return empty
+    if n_term == 0:
+        if (tok_lens >= 2).any():
+            raise ValueError(missing_msg)
+        return empty
+    tok_doc = np.repeat(np.arange(n_rows, dtype=np.int64), tok_lens)
+    term_doc = np.repeat(np.arange(n_rows, dtype=np.int64), term_lens)
+    tok_flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in toks])
+    term_flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in pdf["__terms"]])
+    score_flat = np.concatenate(
+        [np.asarray(s, dtype=np.int64) for s in pdf["__scores"]])
+    # sorted-vocab ids via ONE hash factorize over all strings (then only
+    # the uniques are sorted) — ~10x cheaper than string searchsorted
+    vid, vocab = pd.factorize(np.concatenate([term_flat, tok_flat]),
+                              sort=True)
+    n_vocab = int(vid.max()) + 1
+    term_key = term_doc * n_vocab + vid[:n_term]
+    tok_key = tok_doc * n_vocab + vid[n_term:]
+    # doc-major keys are globally sorted iff each doc's terms are sorted
+    # unique (sort_array + one-row-per-(term,doc) guarantee it); a
+    # violation means the caller hand-built the score map — refuse rather
+    # than silently mis-pair
+    if n_term > 1 and (np.diff(term_key) <= 0).any():
+        raise ValueError(
+            "pair pass: per-doc score map terms must be sorted and "
+            "unique (build_pair_postings builds them with sort_array "
+            "over one row per term)")
+    pos = np.searchsorted(term_key, tok_key)
+    # every token must resolve to its term: scored_uni must be the
+    # UNFILTERED unigram postings of the doc (build_index guarantees
+    # it; a term_filter'ed set here would silently mis-score pairs)
+    if not (term_key[np.minimum(pos, n_term - 1)] == tok_key).all():
+        raise ValueError(missing_msg)
+    # windowing over the flattened doc-major token stream: positions j
+    # and j+s are s apart in the SAME doc exactly when the doc index
+    # matches (docs are contiguous), so the per-doc windows of the old
+    # loop are one strided compare per distance
+    lefts, rights = [], []
+    for s in range(1, distance + 1):
+        if s >= n_tok:
+            break
+        same = tok_doc[:-s] == tok_doc[s:]
+        lefts.append(pos[:-s][same])
+        rights.append(pos[s:][same])
+    if not lefts:
+        return empty
+    a = np.concatenate(lefts)
+    b = np.concatenate(rights)
+    neq = a != b
+    a, b = a[neq], b[neq]
+    if a.shape[0] == 0:
+        return empty
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    # global term-row ids are doc-disjoint ascending, so one unique both
+    # dedups per doc AND orders rows (doc-major, then (lo, hi) in each
+    # doc's local term order) exactly like the per-doc loop did.
+    # n_term^2 must fit int64: n_term < 3e9 — an Arrow batch is ~10k docs
+    # x ~1k distinct terms at the extreme, 5 orders of magnitude under it
+    keys = np.unique(lo * n_term + hi)
+    lo_u = keys // n_term
+    hi_u = keys % n_term
+    # pair STRINGS depend only on the vocab pair, and real corpora are
+    # zipf (hot pairs recur across many docs) — concat each distinct
+    # vocab pair ONCE and gather, instead of one Python concat per output
+    # row (the concat was ~2/3 of the kernel). Adaptive: when the batch
+    # shows little duplication (adversarial near-uniform vocab draws) the
+    # searchsorted+gather overhead exceeds the concat saved, so fall back
+    # to per-row concat. Plain-Python concat still beats np.char.add by
+    # ~10x per element (no per-call ufunc machinery on strings).
+    term_vid = vid[:n_term]
+    pkey = term_vid[lo_u] * n_vocab + term_vid[hi_u]
+    upk = np.unique(pkey)
+    if upk.shape[0] * 5 <= pkey.shape[0] * 4:  # >=1.25x duplication
+        vocab_arr = np.asarray(vocab, dtype=object)
+        ustr = np.fromiter(
+            (x + PAIR_SEP + y for x, y in
+             zip(vocab_arr[upk // n_vocab].tolist(),
+                 vocab_arr[upk % n_vocab].tolist())),
+            dtype=object, count=upk.shape[0])
+        terms_out = ustr[np.searchsorted(upk, pkey)]
+    else:
+        terms_out = np.fromiter(
+            (x + PAIR_SEP + y for x, y in
+             zip(term_flat[lo_u].tolist(), term_flat[hi_u].tolist())),
+            dtype=object, count=keys.shape[0])
+    s1 = score_flat[lo_u]
+    s2 = score_flat[hi_u]
     return pd.DataFrame({
-        "term": np.concatenate(o_term).astype(object),
-        "doc_id": np.concatenate(o_did),
+        "term": terms_out,
+        "doc_id": pdf["doc_id"].to_numpy(np.int64)[term_doc[lo_u]],
         "tf": np.ones(s1.shape[0], np.int64),
         "s1": s1, "s2": s2, "score_q": s1 + s2})
 
