@@ -32,8 +32,16 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CORPUS = "/tmp/cg_scale_corpus_v3_500000"
-N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[1] == "--n" \
-    else 10_000
+def _n_queries() -> int:
+    # positional [n_queries] per the usage string; --worker mode reads it
+    # from the third argv slot so the parent can forward it.
+    args = sys.argv[1:]
+    if args and args[0] == "--worker":
+        args = args[2:]
+    return int(args[0]) if args else 10_000
+
+
+N_QUERIES = _n_queries()
 
 
 def _load() -> float:
@@ -97,7 +105,7 @@ def main() -> None:
     results = {}
     for cores in (2, 8):
         out = subprocess.run([sys.executable, __file__, "--worker",
-                              str(cores)],
+                              str(cores), str(N_QUERIES)],
                              capture_output=True, text=True, timeout=1800)
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not lines:

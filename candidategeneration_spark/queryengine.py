@@ -484,7 +484,13 @@ def topk_single(seg: Segment, k: int):
     k is a meaningful fraction of the list."""
     if seg.n_blocks == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    if 4 * k >= int(seg.df):
+    if (4 * k >= int(seg.df)
+            or seg.cache_resident
+            or getattr(seg, "_ds", None) is not None):
+        # Serving posture (same gate as _lookup_contrib): a resident
+        # segment's full decode is memoized across the query batch, so
+        # partitioning the memo beats galloping decode_blocks_ds calls
+        # that would bypass the _CachingSegment memo entirely.
         d, s = seg.decode_ds()
         return _final_topk(d, s, k)
     bm = np.asarray(seg.block_max)

@@ -253,11 +253,7 @@ def test_vbyte_large_buffer_width_composition_path():
     assert np.array_equal(ic.vbyte_decode(enc), v)
 
 
-def _synth_seg(r, n, universe, lo, hi):
-    dids = np.sort(r.choice(universe, n, replace=False)).astype(np.int64)
-    scores = r.integers(lo, hi, n).astype(np.int64)
-    return ic.encode_postings(
-        dids, scores, r.integers(1, 50, n).astype(np.int64))
+from helpers_synth import synth_seg as _synth_seg  # noqa: E402
 
 
 def test_lookup_kernel_differential():

@@ -27,11 +27,7 @@ pytestmark = pytest.mark.skipif(
     reason="extended fuzz campaign; set EXTENDED_FUZZ=1 to run (~4 min)")
 
 
-def _synth(r, n, universe, lo, hi):
-    dids = np.sort(r.choice(universe, n, replace=False)).astype(np.int64)
-    scores = r.integers(lo, hi, n).astype(np.int64)
-    return ic.encode_postings(
-        dids, scores, r.integers(1, 50, n).astype(np.int64))
+from helpers_synth import synth_seg as _synth  # noqa: E402
 
 
 def test_topk_single_extended():
