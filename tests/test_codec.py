@@ -495,3 +495,37 @@ def test_topk_auto_dispatch_decisions():
     finally:
         (qe.topk_single, qe.topk_decompose, qe.topk_lookup,
          qe.topk_exhaustive) = reals
+
+
+def test_topk_single_warm_posture_uses_memo():
+    """Serving posture: topk_single on a _CachingSegment must (a) stay
+    exact and (b) answer from the decode_ds memo — never through
+    decode_blocks_ds, which __getattr__-delegates PAST the memo and
+    re-decodes compressed blocks per query (the round-5 review finding)."""
+    from candidategeneration_spark.queryengine import (
+        _CachingSegment, topk_exhaustive, topk_single)
+
+    r = np.random.default_rng(424242)
+    raw = _synth_seg(r, 30_000, 200_000, -50, 1_000_000)
+    warm = _CachingSegment(raw)
+    calls = []
+    orig = type(raw).decode_blocks_ds
+
+    def spy(self, blocks):
+        calls.append(len(blocks))
+        return orig(self, blocks)
+
+    type(raw).decode_blocks_ds = spy
+    try:
+        for k in (1, 10, 128, 129, 5000):
+            a = topk_single(warm, k)
+            b = topk_exhaustive([raw], k)
+            assert np.array_equal(a[0], b[0]), k
+            assert np.array_equal(a[1], b[1]), k
+        assert calls == [], calls        # memo path only, zero block decodes
+        assert warm._ds is not None      # the full decode was memoized once
+        # cold raw segment still gallops (the batch-path strategy intact)
+        topk_single(raw, 10)
+        assert calls, "cold path should decode via blocks"
+    finally:
+        type(raw).decode_blocks_ds = orig
