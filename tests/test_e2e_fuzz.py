@@ -66,6 +66,21 @@ def test_random_corpus_rank_identity(spark, trial):
     segs, _ = B.build_index(df, dbigram_distance=5)
     segs = segs.cache()
     segs.count()
+    # every stored posting list (unigram AND d-bigram pair) vs the oracle
+    from candidategeneration_spark.build import PAIR_SEP
+    from candidategeneration_spark.indexcodec import segment_from_row
+    for row in segs.collect():
+        seg = segment_from_row(row)
+        d, s, _ = seg.decode_all()
+        if PAIR_SEP in row["term"]:
+            t1, t2 = row["term"].split(PAIR_SEP)
+            expect_p = oracle.pair_postings(t1, t2)
+            assert d.tolist() == [e[0] for e in expect_p], (trial, row["term"])
+            assert s.tolist() == [e[1] for e in expect_p], (trial, row["term"])
+        else:
+            expect_u = oracle.postings(row["term"])
+            assert d.tolist() == [e[0] for e in expect_u], (trial, row["term"])
+            assert s.tolist() == [e[2] for e in expect_u], (trial, row["term"])
     queries = _random_queries(r, vocab)
     qdf = spark.createDataFrame(queries, "qid long, terms array<string>")
     k = int(r.choice([1, 3, 10, 200]))                  # 200 > any corpus
