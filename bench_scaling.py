@@ -385,8 +385,15 @@ def main() -> None:
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # merge into the existing record instead of replacing it: SCALING.json
+    # accumulates named rungs (round4_rung_8_32, round5_rung_*, ...) across
+    # sessions; only this script's own top-level report fields are updated
+    # (an earlier form replaced the whole file, silently dropping every
+    # other rung — the final round-5 session had to restore from backup)
+    full = prev_full if prev_full is not None else {}
+    full.update(report)
     with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(full, f, indent=1)
 
 
 if __name__ == "__main__":
